@@ -1,0 +1,118 @@
+"""End-to-end render vs the recursive NumPy oracle (SURVEY.md §4 plan b)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytracer_tpu.models import scenes
+from raytracer_tpu.oracle import numpy_ref
+from raytracer_tpu.render import integrator
+
+
+def _compare(scene, camera, w, h, depth, tonemap=True, tol=1e-4, frac=0.999):
+    img = np.asarray(
+        integrator.render(scene, camera, w, h, depth=depth, tonemap=tonemap)
+    )
+    # f32 oracle: same arithmetic precision, independent recursive structure.
+    want32 = numpy_ref.render_oracle(
+        scene, camera, w, h, depth=depth, tonemap=tonemap, dtype=np.float32
+    )
+    close = np.isclose(img, want32, rtol=tol, atol=tol)
+    assert close.mean() >= frac, f"f32 oracle mismatch: {close.mean():.5f} close"
+    # f64 oracle: catches f32-vs-f32 shared-mode errors; looser tolerance and
+    # a quantile guard for hit/miss decision flips at silhouette pixels.
+    want64 = numpy_ref.render_oracle(
+        scene, camera, w, h, depth=depth, tonemap=tonemap, dtype=np.float64
+    )
+    err = np.abs(img - want64)
+    assert np.quantile(err, 0.999) < 5e-3, np.quantile(err, 0.999)
+    return img
+
+
+def test_demo_scene_one_bounce_320x240():
+    """BASELINE config 1 geometry at 320x240 (plus shading, 1 bounce)."""
+    _compare(
+        scenes.reference_demo_scene(),
+        scenes.reference_demo_camera(),
+        320,
+        240,
+        depth=1,
+        tonemap=False,
+    )
+
+
+def test_sprint3_scene_640x480_one_bounce():
+    """BASELINE config 2: sphere + walls + sun + sky, 640x480, 1 bounce."""
+    _compare(
+        scenes.sprint3_scene(),
+        scenes.reference_demo_camera(),
+        320,  # reduced for test speed; same code path as 640x480
+        240,
+        depth=1,
+        tonemap=False,
+    )
+
+
+def test_demo_scene_three_bounces_tonemapped():
+    """BASELINE config 3 semantics (3 bounces + tone mapping), small res."""
+    img = _compare(
+        scenes.reference_demo_scene(sun=True),
+        scenes.reference_demo_camera(),
+        160,
+        120,
+        depth=3,
+        tonemap=True,
+    )
+    assert img.min() >= 0.0 and img.max() <= 1.0  # tone map keeps [0, 1)
+
+
+def test_procedural_scene_matches_oracle():
+    _compare(
+        scenes.grid_sphere_scene(64),
+        scenes.reference_demo_camera(),
+        128,
+        96,
+        depth=2,
+        tonemap=True,
+        frac=0.995,
+    )
+
+
+def test_depth_zero_matches_reference_remaining_zero():
+    """depth=0 must equal the reference's remaining_iterations=0 (local color
+    only, no reflection blend)."""
+    scene = scenes.reference_demo_scene()
+    cam = scenes.reference_demo_camera()
+    img = np.asarray(integrator.render(scene, cam, 64, 64, depth=0, tonemap=False))
+    want = numpy_ref.render_oracle(scene, cam, 64, 64, depth=0, tonemap=False)
+    assert np.isclose(img, want, atol=1e-4).mean() > 0.999
+
+
+def test_ray_chunking_invariance():
+    """Chunked lax.map over rays must be bit-identical to one big batch."""
+    scene = scenes.reference_demo_scene()
+    cam = scenes.reference_demo_camera()
+    a = np.asarray(integrator.render(scene, cam, 64, 48, depth=2, ray_chunk=1 << 20))
+    b = np.asarray(integrator.render(scene, cam, 64, 48, depth=2, ray_chunk=512))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_render_depth_map():
+    scene = scenes.reference_demo_scene()
+    cam = scenes.reference_demo_camera()
+    t = np.asarray(integrator.render_depth(scene, cam, 64, 64))
+    # Sphere at distance 1.5 - 0.5 = 1.0 dead ahead of the camera; the demo
+    # camera looks at -x but rays flip to +x (main.cpp:133), so center pixels
+    # hit the sphere.
+    center = t[32, 32]
+    assert 0.9 < center < 1.1
+    assert np.isinf(t).any()  # sky pixels exist
+
+
+def test_sky_only_scene():
+    from raytracer_tpu.core.types import Scene
+
+    scene = Scene.create()
+    cam = scenes.reference_demo_camera()
+    img = np.asarray(integrator.render(scene, cam, 32, 32, depth=2, tonemap=False))
+    want = numpy_ref.render_oracle(scene, cam, 32, 32, depth=2, tonemap=False)
+    np.testing.assert_allclose(img, want, atol=1e-4)
