@@ -244,6 +244,12 @@ def closest_hit(
             jnp.zeros((p,), jnp.int32)
         )
 
+    # Miss lanes would otherwise carry a garbage "sphere normal"
+    # (point - center)/radius of magnitude >> 1; the shading pow then
+    # overflows to inf, and although the forward `where(hit, ...)` masks it,
+    # the backward pass would see 0 * inf = NaN. Force a unit normal.
+    normal = jnp.where(hit[:, None], normal, jnp.array([0.0, 0.0, 1.0], jnp.float32))
+
     return HitRecord(
         t=best_t,
         hit=hit,

@@ -47,12 +47,21 @@ def trace_rays(
     *,
     depth: int = 3,
     prim_chunk: int = 128,
+    closest_hit_fn=None,
 ) -> jnp.ndarray:
-    """Radiance transported along each ray, ``[P, 3]`` (pre-tonemap)."""
+    """Radiance transported along each ray, ``[P, 3]`` (pre-tonemap).
+
+    ``closest_hit_fn(scene, o, d) -> HitRecord`` overrides the hit kernel —
+    the sharded renderer (parallel/) injects a primitive-sharded version that
+    combines per-shard winners with a mesh collective; the Pallas path
+    injects its megakernel.
+    """
+    if closest_hit_fn is None:
+        closest_hit_fn = functools.partial(closest_hit, prim_chunk=prim_chunk)
 
     def level(carry, k):
         o, d, w, accum = carry
-        rec = closest_hit(scene, o, d, prim_chunk=prim_chunk)
+        rec = closest_hit_fn(scene, o, d)
         local = shade_local(rec.point, rec.normal, -d, rec.material, scene.lights)
         sky = background_color(d, scene.sky)
 
@@ -71,12 +80,14 @@ def trace_rays(
         new_d = jnp.where(hit, math3.reflect(d, rec.normal), d)
         return (new_o, new_d, w, accum), None
 
-    p = origins.shape[0]
+    # Derive w/accum arithmetically from the inputs (not via fresh zeros/ones)
+    # so that, under shard_map, they inherit the rays' varying-axes type and
+    # the scan carry type-checks.
     carry = (
         origins,
         directions,
-        jnp.ones((p, 1), jnp.float32),
-        jnp.zeros((p, 3), jnp.float32),
+        origins[:, :1] * 0.0 + 1.0,
+        origins * 0.0,
     )
     (_, _, _, accum), _ = jax.lax.scan(
         level, carry, jnp.arange(depth + 1, dtype=jnp.int32)

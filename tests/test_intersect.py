@@ -8,12 +8,10 @@ from raytracer_tpu.models import scenes
 from raytracer_tpu.ops import intersect
 from raytracer_tpu.oracle import numpy_ref
 
-RNG = np.random.default_rng(7)
-
-
-def _rand_rays(p):
-    o = RNG.uniform(-2, 2, (p, 3)).astype(np.float32)
-    d = RNG.standard_normal((p, 3)).astype(np.float32)
+def _rand_rays(p, seed=7):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-2, 2, (p, 3)).astype(np.float32)
+    d = rng.standard_normal((p, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     return o, d
 
@@ -63,9 +61,9 @@ def test_closest_hit_chunked_matches_unchunked():
     o, d = _rand_rays(513)
     a = intersect.closest_hit(scene, jnp.asarray(o), jnp.asarray(d), prim_chunk=8)
     b = intersect.closest_hit(scene, jnp.asarray(o), jnp.asarray(d), prim_chunk=4096)
-    np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(a.prim_index), np.asarray(b.prim_index))
-    np.testing.assert_allclose(np.asarray(a.normal), np.asarray(b.normal), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.normal), np.asarray(b.normal), atol=1e-5)
 
 
 def test_closest_hit_demo_scene_semantics():
