@@ -1,0 +1,434 @@
+"""The fused TPU hot path: SoA closest-hit fold, shading, and bounce loop.
+
+This is the performance-critical rebuild of the reference's entire frame
+stack — ``rt_scene`` -> ``recursive_ray_tracing`` -> ``find_closest_hit`` ->
+``Sphere/Wall::intersect`` -> shading (main.cpp:28-139, scene.cpp:4-78) — in
+the layout the VPU wants:
+
+* every per-ray quantity is a component array in image layout ``[rows, W]``
+  (width rides the 128-lane axis; see core/v3.py for the measured rationale);
+* the primitive loop is python-unrolled (chunk-scanned above ``prim_unroll``)
+  so XLA fuses the whole fold into one kernel with a running
+  (min-t, argmin-index) carry — no ``[P, N]`` candidate matrix ever exists;
+* the bounce "recursion" is a python-unrolled loop over ``depth + 1`` shading
+  levels (the reference recursion linearized front-to-back, main.cpp:89-119),
+  so one XLA fusion covers raygen -> N bounces -> tone map.
+
+Gradients flow through everything; miss lanes are double-where guarded so
+reverse-mode never sees 0 * inf.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.core.types import Camera, Lights, Scene, Sky
+from raytracer_tpu.core.v3 import V3
+from raytracer_tpu.ops.raygen import camera_frame
+
+__all__ = [
+    "MISS_T",
+    "SoAHit",
+    "raygen_tile",
+    "closest_hit_soa",
+    "shade_soa",
+    "background_soa",
+    "trace_soa",
+    "render_tile",
+]
+
+MISS_T = 1e30  # large finite miss sentinel (never inf: inf breeds NaN grads)
+_REFLECT_EPS = 1e-4  # secondary-ray origin offset (reference: main.cpp:111)
+
+
+class SoAHit(NamedTuple):
+    """Per-ray closest hit, all fields in image layout ``[rows, W]``.
+
+    The SoA rebuild of the reference's ``Collision`` + material lookup
+    (scene.h:27-33, main.cpp:96-104): geometry and the *gathered* winning
+    material, ready for pure elementwise shading.
+    """
+
+    t: jnp.ndarray
+    hit: jnp.ndarray  # bool
+    point: V3
+    normal: V3  # unit; fixed (0,0,1) on miss lanes (NaN-grad guard)
+    prim_index: jnp.ndarray  # i32 global index, -1 on miss
+    color: V3
+    ambient: jnp.ndarray
+    metallic: jnp.ndarray
+    diffuse: jnp.ndarray
+    specular: jnp.ndarray
+    specular_exponent: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Ray generation (reference: rt_scene loop header, main.cpp:129-134)
+# ---------------------------------------------------------------------------
+
+
+def raygen_tile(
+    camera: Camera, width: int, height: int, row_offset=0, rows: int | None = None
+) -> tuple[V3, V3]:
+    """Primary rays for rows ``[row_offset, row_offset+rows)`` of the image.
+
+    Returns ``(origin, direction)``: origin is a V3 of scalars (pinhole),
+    direction a V3 of ``[rows, W]`` unit components. Replicates the
+    reference's ``position - pixel_center`` direction flip (main.cpp:133).
+    """
+    rows = height if rows is None else rows
+    frame = camera_frame(camera, width, height)
+    tl = V3.from_stacked(frame.image_top_left)
+    dx = V3.from_stacked(frame.pixel_delta_x)
+    dy = V3.from_stacked(frame.pixel_delta_y)
+    origin = V3.from_stacked(frame.origin)
+
+    jj = jnp.arange(width, dtype=jnp.float32)[None, :]  # [1, W]
+    ii = jnp.arange(rows, dtype=jnp.float32)[:, None] + row_offset  # [rows, 1]
+    pc = V3(
+        tl.x + dx.x * jj + dy.x * ii,
+        tl.y + dx.y * jj + dy.y * ii,
+        tl.z + dx.z * jj + dy.z * ii,
+    )
+    d = (origin - pc).normalized()
+    return origin, d
+
+
+# ---------------------------------------------------------------------------
+# Closest-hit fold (reference: find_closest_hit, main.cpp:67-84;
+# Sphere::intersect, scene.cpp:40-78; Wall::intersect, scene.cpp:4-35)
+# ---------------------------------------------------------------------------
+
+
+def _sphere_update(o: V3, d: V3, best, i, cx, cy, cz, r2):
+    """Fold one sphere into the (best_t, best_i) carry.
+
+    Quadratic with a = |d|^2 = 1 folded out (unit directions): the nearer
+    root, accepted iff det >= 0 and t > 0 and strictly closer (main.cpp:77).
+    """
+    best_t, best_i = best
+    ocx, ocy, ocz = o.x - cx, o.y - cy, o.z - cz
+    b = 2.0 * (d.x * ocx + d.y * ocy + d.z * ocz)
+    c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+    det = b * b - 4.0 * c
+    front = det >= 0.0
+    sq = jnp.sqrt(jnp.where(front, det, 1.0))  # double-where: finite d/d(det)
+    t = 0.5 * (-b - sq)
+    win = front & (t > 0.0) & (t < best_t)
+    return jnp.where(win, t, best_t), jnp.where(win, i, best_i)
+
+
+def _wall_update(o: V3, d: V3, best, i, w):
+    """Fold one wall (finite rectangle) into the carry.
+
+    ``w`` is a dict of per-wall scalars: unit normal n, in-plane basis
+    (right, up) from cross products with z (scene.cpp:18-19 — degenerate for
+    z-parallel normals, replicated), corner p, extents. Back-face normals
+    stay un-flipped (scene.cpp:30).
+    """
+    best_t, best_i = best
+    denom = d.x * w["nx"] + d.y * w["ny"] + d.z * w["nz"]
+    num = w["dplane"] - (o.x * w["nx"] + o.y * w["ny"] + o.z * w["nz"])
+    ok = jnp.abs(denom) > 1e-12
+    t = num / jnp.where(ok, denom, 1.0)
+    relx = o.x + d.x * t - w["px"]
+    rely = o.y + d.y * t - w["py"]
+    relz = o.z + d.z * t - w["pz"]
+    u = relx * w["rx"] + rely * w["ry"] + relz * w["rz"]
+    v = relx * w["ux"] + rely * w["uy"] + relz * w["uz"]
+    win = (
+        ok
+        & (t > 0.0)
+        & (u >= 0.0)
+        & (u <= w["length"])
+        & (v >= 0.0)
+        & (v <= w["width"])
+        & (t < best_t)
+    )
+    return jnp.where(win, t, best_t), jnp.where(win, i, best_i)
+
+
+def _fold_spheres(spheres, o: V3, d: V3, best, base: int, unroll: int):
+    """All spheres into the carry: unrolled, or chunk-scanned above ``unroll``.
+
+    Unrolling keeps the whole fold one XLA fusion (measured ~6x over
+    ``lax.scan``-per-primitive); the chunked scan bounds compile time for
+    1000+-sphere scenes while still unrolling ``unroll`` primitives per step.
+    """
+    n = len(spheres)
+    cx, cy, cz = spheres.center[:, 0], spheres.center[:, 1], spheres.center[:, 2]
+    r2 = spheres.radius * spheres.radius
+    if n <= unroll:
+        for k in range(n):
+            best = _sphere_update(
+                o, d, best, jnp.int32(base + k), cx[k], cy[k], cz[k], r2[k]
+            )
+        return best
+
+    k_chunks = -(-n // unroll)
+    pad = k_chunks * unroll - n
+
+    def pad_to(x, fill):
+        return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)]) if pad else x
+
+    # Pad with never-hit spheres: center at 1e8 makes det < 0 for real rays.
+    xs = (
+        pad_to(cx, 1e8).reshape(k_chunks, unroll),
+        pad_to(cy, 1e8).reshape(k_chunks, unroll),
+        pad_to(cz, 1e8).reshape(k_chunks, unroll),
+        pad_to(r2, 0.0).reshape(k_chunks, unroll),
+        base + jnp.arange(k_chunks, dtype=jnp.int32) * unroll,
+    )
+
+    def body(carry, x):
+        cxc, cyc, czc, r2c, b0 = x
+        for k in range(unroll):
+            carry = _sphere_update(o, d, carry, b0 + k, cxc[k], cyc[k], czc[k], r2c[k])
+        return carry, None
+
+    best, _ = jax.lax.scan(body, best, xs)
+    return best
+
+
+def _wall_tables(walls) -> dict:
+    """Per-wall scalars for the fold (basis per scene.cpp:18-19)."""
+    n = V3.from_stacked(walls.normal)
+    z = V3(
+        jnp.zeros_like(n.x), jnp.zeros_like(n.x), jnp.ones_like(n.x)
+    )
+    right = n.cross(z).normalized()
+    up = right.cross(n).normalized()
+    p = V3.from_stacked(walls.position)
+    return {
+        "nx": n.x, "ny": n.y, "nz": n.z,
+        "rx": right.x, "ry": right.y, "rz": right.z,
+        "ux": up.x, "uy": up.y, "uz": up.z,
+        "px": p.x, "py": p.y, "pz": p.z,
+        "dplane": p.dot(n),
+        "length": walls.length,
+        "width": walls.width,
+    }
+
+
+def _fold_walls(walls, o: V3, d: V3, best, base: int):
+    tab = _wall_tables(walls)
+    for k in range(len(walls)):
+        wk = {key: val[k] for key, val in tab.items()}
+        best = _wall_update(o, d, best, jnp.int32(base + k), wk)
+    return best
+
+
+def closest_hit_soa(
+    scene: Scene, o: V3, d: V3, *, prim_unroll: int = 64
+) -> SoAHit:
+    """Closest hit of every ray in the tile against the whole scene.
+
+    The linear virtual-dispatch scan of the reference (main.cpp:67-84)
+    becomes two fused min-folds plus one gather of the winner's attributes.
+    Global primitive numbering: spheres ``[0, n_s)`` then walls.
+    """
+    n_s, n_w = len(scene.spheres), len(scene.walls)
+    # Derive the carry init arithmetically from the rays (not via jnp.full)
+    # so it inherits their varying-axes type under shard_map and the chunked
+    # sphere scan's carry type-checks.
+    zero = (o.x + d.x) * 0.0
+    best = (zero + MISS_T, zero.astype(jnp.int32) - 1)
+    if n_s:
+        best = _fold_spheres(scene.spheres, o, d, best, 0, prim_unroll)
+    if n_w:
+        best = _fold_walls(scene.walls, o, d, best, n_s)
+    return gather_hit(scene, o, d, best[0], best[1])
+
+
+def gather_hit(
+    scene: Scene, o: V3, d: V3, best_t: jnp.ndarray, best_i: jnp.ndarray
+) -> SoAHit:
+    """Build the full SoAHit record from a (min-t, argmin-index) fold result."""
+    n_s, n_w = len(scene.spheres), len(scene.walls)
+    hit = best_t < MISS_T
+    t_safe = jnp.where(hit, best_t, 1.0)
+    point = o + d * t_safe
+
+    if n_s + n_w == 0:  # empty scene: every ray misses into the background
+        zeros = jnp.zeros_like(best_t)
+        unit_z = V3(zeros, zeros, zeros + 1.0)
+        return SoAHit(
+            t=best_t, hit=hit, point=point, normal=unit_z,
+            prim_index=jnp.full_like(best_t, -1, dtype=jnp.int32),
+            color=V3(zeros, zeros, zeros), ambient=zeros, metallic=zeros,
+            diffuse=zeros, specular=zeros, specular_exponent=zeros + 1.0,
+        )
+
+    smat, wmat = scene.spheres.material, scene.walls.material
+
+    def cat(a, b):
+        if n_s and n_w:
+            return jnp.concatenate([a, b])
+        return a if n_s else b
+
+    idx = jnp.clip(best_i, 0, n_s + n_w - 1)
+    color = V3.from_stacked(cat(smat.color, wmat.color)).take(idx)
+    ambient = jnp.take(cat(smat.ambient, wmat.ambient), idx, mode="clip")
+    metallic = jnp.take(cat(smat.metallic, wmat.metallic), idx, mode="clip")
+    diffuse = jnp.take(cat(smat.diffuse, wmat.diffuse), idx, mode="clip")
+    specular = jnp.take(cat(smat.specular, wmat.specular), idx, mode="clip")
+    exponent = jnp.take(
+        cat(smat.specular_exponent, wmat.specular_exponent), idx, mode="clip"
+    )
+
+    if n_s:
+        si = jnp.clip(best_i, 0, n_s - 1)
+        center = V3.from_stacked(scene.spheres.center).take(si)
+        radius = jnp.take(scene.spheres.radius, si, mode="clip")
+        sph_n = (point - center) * (1.0 / jnp.maximum(radius, 1e-12))
+    if n_w:
+        wi = jnp.clip(best_i - n_s, 0, n_w - 1)
+        wall_n = V3.from_stacked(scene.walls.normal).take(wi)
+
+    if n_s and n_w:
+        normal = V3.where(best_i < n_s, sph_n, wall_n)
+    elif n_s:
+        normal = sph_n
+    elif n_w:
+        normal = wall_n
+    else:
+        normal = V3.fill(best_t.shape, 0.0)
+
+    # Miss lanes: force a benign unit normal — their garbage normal would
+    # overflow the shading pow to inf and poison gradients via 0 * inf.
+    unit_z = V3(jnp.zeros_like(best_t), jnp.zeros_like(best_t), jnp.ones_like(best_t))
+    normal = V3.where(hit, normal, unit_z)
+
+    return SoAHit(
+        t=best_t,
+        hit=hit,
+        point=point,
+        normal=normal,
+        prim_index=jnp.where(hit, best_i, -1),
+        color=color,
+        ambient=ambient,
+        metallic=metallic,
+        diffuse=diffuse,
+        specular=specular,
+        specular_exponent=exponent,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shading (reference: out_color main.cpp:28-37, diffuse_shading main.cpp:42-48,
+# specular main.cpp:53-62, combination main.cpp:102-104)
+# ---------------------------------------------------------------------------
+
+
+def background_soa(d: V3, sky: Sky) -> V3:
+    """Sky gradient / flat ground for unit directions (main.cpp:28-37)."""
+    z = d.z
+    z_pos = jnp.where(z > 0.0, z, 1.0)  # double-where: finite pow grads
+    grad = jnp.where(z > 0.0, z_pos**sky.gradient_exponent, 0.0)
+    horizon = V3.from_stacked(sky.horizon_color)
+    zenith = V3.from_stacked(sky.zenith_color)
+    ground = V3.from_stacked(sky.ground_color)
+    sky_col = V3.lerp(horizon, zenith, grad)
+    return V3.where(z < 0.0, ground, sky_col)
+
+
+def _light_terms(ldir: V3, normal: V3, view: V3, exponent):
+    """(diffuse, specular^e) for one light direction (main.cpp:42-62)."""
+    diffuse = jnp.maximum(ldir.dot(normal), 0.0)
+    half = (view + ldir).normalized()
+    base = jnp.maximum(half.dot(normal), 0.0)
+    base_safe = jnp.where(base > 0.0, base, 1.0)  # 0**e has infinite d/d(base)
+    specular = jnp.where(base > 0.0, base_safe**exponent, 0.0)
+    return diffuse, specular
+
+
+def shade_soa(rec: SoAHit, view: V3, lights: Lights) -> V3:
+    """Local Blinn-Phong color at each hit point (main.cpp:102-104)."""
+    kd, ks, exp = rec.diffuse, rec.specular, rec.specular_exponent
+    intensity = V3.fill(rec.t.shape, 0.0)
+
+    for li in range(lights.point_position.shape[0]):
+        lp = V3.from_stacked(lights.point_position[li])
+        lc = V3.from_stacked(lights.point_color[li])
+        ldir = (lp - rec.point).normalized()
+        diff, spec = _light_terms(ldir, rec.normal, view, exp)
+        intensity = intensity + lc * (diff * kd + spec * ks)
+
+    sun_dir = V3.from_stacked(lights.sun_direction).normalized()
+    sun_col = V3.from_stacked(lights.sun_color)
+    ones = jnp.ones_like(rec.t)
+    sdir = V3(sun_dir.x * ones, sun_dir.y * ones, sun_dir.z * ones)
+    sdiff, sspec = _light_terms(sdir, rec.normal, view, exp)
+    intensity = intensity + sun_col * (sdiff * kd + sspec * ks)
+
+    return rec.color * (intensity + rec.ambient)
+
+
+# ---------------------------------------------------------------------------
+# Bounce loop (reference: recursive_ray_tracing, main.cpp:89-119)
+# ---------------------------------------------------------------------------
+
+
+def trace_soa(
+    scene: Scene,
+    o: V3,
+    d: V3,
+    *,
+    depth: int = 3,
+    prim_unroll: int = 64,
+    closest_hit_fn: Callable[[Scene, V3, V3], SoAHit] | None = None,
+) -> V3:
+    """Radiance per ray (pre-tonemap), unrolling the reference recursion.
+
+    Front-to-back expansion of ``C_k = lerp(local_k, C_{k+1}, m_k)``
+    (main.cpp:117): carry throughput ``w``; each level adds
+    ``w * (1-m) * local`` on hits (full ``local`` on the last level,
+    main.cpp:105-108) or ``w * sky`` on misses, then reflects. Python-level
+    unroll: static depth, one XLA fusion end to end.
+    """
+    if closest_hit_fn is None:
+        def closest_hit_fn(sc, oo, dd):
+            return closest_hit_soa(sc, oo, dd, prim_unroll=prim_unroll)
+
+    shape = jnp.broadcast_shapes(o.x.shape, d.x.shape)
+    o = V3(*[jnp.broadcast_to(c, shape) for c in o])
+    w = jnp.ones(shape, jnp.float32)
+    acc = V3.fill(shape, 0.0)
+
+    for k in range(depth + 1):
+        rec = closest_hit_fn(scene, o, d)
+        local = shade_soa(rec, -d, scene.lights)
+        sky = background_soa(d, scene.sky)
+        is_last = k == depth
+        hit_color = local if is_last else local * (1.0 - rec.metallic)
+        contrib = V3.where(rec.hit, hit_color, sky)
+        acc = acc + contrib * w
+        if not is_last:
+            w = w * jnp.where(rec.hit, rec.metallic, 0.0)
+            bounce_o = rec.point + rec.normal * _REFLECT_EPS
+            o = V3.where(rec.hit, bounce_o, o)
+            d = V3.where(rec.hit, d.reflect(rec.normal), d)
+    return acc
+
+
+def render_tile(
+    scene: Scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    *,
+    row_offset=0,
+    rows: int | None = None,
+    depth: int = 3,
+    prim_unroll: int = 64,
+    closest_hit_fn=None,
+) -> V3:
+    """Raygen + trace for a row tile; returns radiance V3 of ``[rows, W]``."""
+    o, d = raygen_tile(camera, width, height, row_offset=row_offset, rows=rows)
+    return trace_soa(
+        scene, o, d, depth=depth, prim_unroll=prim_unroll,
+        closest_hit_fn=closest_hit_fn,
+    )

@@ -20,28 +20,32 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from raytracer_tpu.core.types import Camera, Scene
-from raytracer_tpu.ops.intersect import HitRecord, closest_hit
-from raytracer_tpu.ops.raygen import camera_frame, generate_rays
+from raytracer_tpu.core.v3 import V3
 from raytracer_tpu.ops.tonemap import reinhard_tonemap
+from raytracer_tpu.ops.trace import (
+    SoAHit,
+    closest_hit_soa,
+    raygen_tile,
+    trace_soa,
+)
 from raytracer_tpu.parallel.mesh import (
     PRIM_AXIS,
     PX_AXIS,
     pad_scene_spheres,
     scene_pspecs,
 )
-from raytracer_tpu.render.integrator import trace_rays
 
 __all__ = ["render_sharded", "render_sharded_impl"]
 
 
 def _globalize_prim_index(
-    rec: HitRecord, n_s_local: int, n_s_global: int, axis: str
-) -> HitRecord:
+    rec: SoAHit, n_s_local: int, n_s_global: int, axis: str
+) -> SoAHit:
     """Rewrite shard-local primitive indices as global scene indices.
 
     Local layout per shard: spheres ``[0, n_s_local)`` then walls; global
     layout: spheres ``[0, n_s_global)`` then walls (matching the unsharded
-    ``closest_hit`` numbering).
+    ``closest_hit_soa`` numbering).
     """
     shard = jax.lax.axis_index(axis)
     is_sphere = (rec.prim_index >= 0) & (rec.prim_index < n_s_local)
@@ -54,10 +58,10 @@ def _globalize_prim_index(
             -1,
         ),
     )
-    return rec.replace(prim_index=gidx)
+    return rec._replace(prim_index=gidx)
 
 
-def _combine_hits(rec: HitRecord, axis: str) -> HitRecord:
+def _combine_hits(rec: SoAHit, axis: str) -> SoAHit:
     """Reduce per-shard closest hits to the global closest hit.
 
     ``all_gather`` the [n_shards, ...] candidates over the primitive axis and
@@ -65,10 +69,8 @@ def _combine_hits(rec: HitRecord, axis: str) -> HitRecord:
     candidates on every shard) resolve to the lowest shard, which holds the
     same record — idempotent by construction.
     """
-    gathered = jax.tree_util.tree_map(
-        lambda x: jax.lax.all_gather(x, axis), rec
-    )
-    win = jnp.argmin(gathered.t, axis=0)  # [P]
+    gathered = jax.tree_util.tree_map(lambda x: jax.lax.all_gather(x, axis), rec)
+    win = jnp.argmin(gathered.t, axis=0)
 
     def pick(x):
         w = win.reshape((1,) + win.shape + (1,) * (x.ndim - 1 - win.ndim))
@@ -86,7 +88,7 @@ def render_sharded_impl(
     mesh: jax.sharding.Mesh,
     depth: int = 3,
     tonemap: bool = True,
-    prim_chunk: int = 128,
+    prim_chunk: int = 64,
 ) -> jnp.ndarray:
     """Un-jitted sharded render, for composition into jitted loss functions."""
     n_px = mesh.shape[PX_AXIS]
@@ -103,36 +105,33 @@ def render_sharded_impl(
         row0 = jax.lax.axis_index(PX_AXIS) * rows
         # Frame anchors use the TRUE height so sharding never changes the
         # frustum; pad rows sample past the bottom edge and are cropped off.
-        frame = camera_frame(camera, width, height)
-        o, d = generate_rays(frame, width, rows, row_offset=row0)
-        # Rays interact with prim-sharded scene data each bounce, so mark
-        # them varying over the full mesh up front (keeps the bounce-scan
-        # carry type stable under shard_map's varying-axes checking).
-        # Origins are a broadcast of the replicated camera position, so they
-        # start unvarying; directions already vary over px via axis_index.
-        o = jax.lax.pcast(o, (PX_AXIS, PRIM_AXIS), to="varying")
-        d = jax.lax.pcast(d, (PRIM_AXIS,), to="varying")
+        o, d = raygen_tile(camera, width, height, row_offset=row0, rows=rows)
+        # Rays meet prim-sharded scene data each bounce: mark them varying
+        # over the full mesh so shard_map's varying-axes checking accepts
+        # the fold/scan carries. Origins broadcast from the replicated
+        # camera (unvarying); directions already vary over px.
+        o = jax.tree_util.tree_map(
+            lambda c: jax.lax.pcast(c, (PX_AXIS, PRIM_AXIS), to="varying"), o
+        )
+        d = jax.tree_util.tree_map(
+            lambda c: jax.lax.pcast(c, (PRIM_AXIS,), to="varying"), d
+        )
 
         if n_prim > 1:
 
             def hit_fn(sc, oo, dd):
-                rec = closest_hit(sc, oo, dd, prim_chunk=prim_chunk)
+                rec = closest_hit_soa(sc, oo, dd, prim_unroll=prim_chunk)
                 rec = _globalize_prim_index(rec, n_s_local, n_s_global, PRIM_AXIS)
                 return _combine_hits(rec, PRIM_AXIS)
 
         else:
+            hit_fn = None
 
-            def hit_fn(sc, oo, dd):
-                return closest_hit(sc, oo, dd, prim_chunk=prim_chunk)
-
-        radiance = trace_rays(
-            scene_local,
-            o.reshape(-1, 3),
-            d.reshape(-1, 3),
-            depth=depth,
+        radiance = trace_soa(
+            scene_local, o, d, depth=depth, prim_unroll=prim_chunk,
             closest_hit_fn=hit_fn,
         )
-        img = radiance.reshape(rows, width, 3)
+        img = radiance.stacked()  # [rows, W, 3]
         if tonemap:
             img = reinhard_tonemap(img)
         # Every prim-shard holds the identical tile; the mean-psum both
@@ -162,7 +161,7 @@ def render_sharded(
     mesh: jax.sharding.Mesh,
     depth: int = 3,
     tonemap: bool = True,
-    prim_chunk: int = 128,
+    prim_chunk: int = 64,
 ) -> jnp.ndarray:
     """Jitted mesh-sharded render to an ``[H, W, 3]`` image.
 

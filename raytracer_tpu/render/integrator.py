@@ -1,22 +1,10 @@
-"""The bounce-loop integrator and the full render pipeline.
+"""The public render pipeline over the fused SoA hot path.
 
-Rebuild of ``recursive_ray_tracing`` (main.cpp:89-119) and ``rt_scene``
-(main.cpp:124-139). The reference recurses per pixel up to 10 reflections
-deep; recursion is hostile to XLA (dynamic call depth, scalar state), so the
-key transformation is unrolling it *forward* as a bounded ``lax.scan`` with a
-per-ray carry ``(origin, direction, throughput w, accumulated color)``:
-
-    reference:  C_k = lerp(local_k, C_{k+1}, m_k)        (main.cpp:117)
-    scan:       accum += w * (1 - m_k) * local_k;  w *= m_k        (hit)
-                accum += w * local_k;              w  = 0          (hit, last)
-                accum += w * sky(d);               w  = 0          (miss)
-
-which is the same algebra expanded front-to-back. Dead lanes (missed rays)
-keep static shapes and carry w = 0, so their later contributions are exact
-zeros and gradients stay clean.
-
-``depth`` counts reflection *bounces*: ``depth = N`` performs ``N + 1``
-shading evaluations, matching the reference's ``remaining_iterations = N``.
+Rebuild of ``rt_scene`` + ``recursive_ray_tracing`` (main.cpp:89-139): ray
+generation, the bounce loop, and Reinhard tone mapping as one jit-compiled
+program. The compute lives in ops/trace.py in component-SoA image layout;
+this module handles the API boundary (``[H, W, 3]`` images, ``[P, 3]`` ray
+batches), row-chunking for very large frames, and the depth-only pass.
 """
 
 from __future__ import annotations
@@ -26,18 +14,26 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from raytracer_tpu.core import math3
 from raytracer_tpu.core.types import Camera, Scene
+from raytracer_tpu.core.v3 import V3
 from raytracer_tpu.ops.intersect import MISS_T, closest_hit
-from raytracer_tpu.ops.raygen import camera_frame, generate_rays
-from raytracer_tpu.ops.shading import background_color, shade_local
 from raytracer_tpu.ops.tonemap import reinhard_tonemap
+from raytracer_tpu.ops.trace import closest_hit_soa, render_tile, trace_soa
 
 __all__ = ["trace_rays", "render", "render_depth"]
 
-# Offset of secondary-ray origins along the normal, preventing self-hits
-# (reference: main.cpp:111).
-_REFLECT_EPS = 1e-4
+# Target pixels per row-chunk: bounds the live [rows, W] buffer set so 4K+
+# frames don't balloon peak HBM while each chunk stays VPU-saturating.
+_CHUNK_PIXELS = 1 << 21
+
+
+def _row_chunks(width: int, height: int, row_chunk: int) -> int:
+    """Rows per chunk (the whole image when it is small enough)."""
+    if row_chunk:
+        return row_chunk
+    if width * height <= _CHUNK_PIXELS:
+        return height
+    return max(1, _CHUNK_PIXELS // width)
 
 
 def trace_rays(
@@ -46,83 +42,33 @@ def trace_rays(
     directions: jnp.ndarray,  # f32[P, 3] unit
     *,
     depth: int = 3,
-    prim_chunk: int = 128,
-    closest_hit_fn=None,
+    prim_chunk: int = 64,
 ) -> jnp.ndarray:
     """Radiance transported along each ray, ``[P, 3]`` (pre-tonemap).
 
-    ``closest_hit_fn(scene, o, d) -> HitRecord`` overrides the hit kernel —
-    the sharded renderer (parallel/) injects a primitive-sharded version that
-    combines per-shard winners with a mesh collective; the Pallas path
-    injects its megakernel.
+    Batch-of-rays API: internally reshaped to the 2-D lane layout the TPU
+    fold wants (see core/v3.py), padded to a multiple of 128.
     """
-    if closest_hit_fn is None:
-        closest_hit_fn = functools.partial(closest_hit, prim_chunk=prim_chunk)
+    p = origins.shape[0]
+    lanes = 128
+    rows = -(-p // lanes)
+    pad = rows * lanes - p
 
-    def level(carry, k):
-        o, d, w, accum = carry
-        rec = closest_hit_fn(scene, o, d)
-        local = shade_local(rec.point, rec.normal, -d, rec.material, scene.lights)
-        sky = background_color(d, scene.sky)
+    def to2d(a):
+        if pad:
+            a = jnp.concatenate([a, jnp.ones((pad, 3), a.dtype)], axis=0)
+        return V3.from_stacked(a.reshape(rows, lanes, 3))
 
-        is_last = k == depth
-        m = rec.material.metallic[:, None]
-        hit = rec.hit[:, None]
-        # Hit: local color weighted by (1 - metallic), except the final level
-        # which returns the full local color (main.cpp:105-108). Miss: sky.
-        contrib = jnp.where(hit, jnp.where(is_last, local, (1.0 - m) * local), sky)
-        accum = accum + w * contrib
-        w = w * jnp.where(hit & jnp.logical_not(is_last), m, 0.0)
-
-        # Reflection ray, offset off the surface (main.cpp:111-113). Dead
-        # lanes keep their previous ray so the state stays finite and unit.
-        new_o = jnp.where(hit, rec.point + rec.normal * _REFLECT_EPS, o)
-        new_d = jnp.where(hit, math3.reflect(d, rec.normal), d)
-        return (new_o, new_d, w, accum), None
-
-    # Derive w/accum arithmetically from the inputs (not via fresh zeros/ones)
-    # so that, under shard_map, they inherit the rays' varying-axes type and
-    # the scan carry type-checks.
-    carry = (
-        origins,
-        directions,
-        origins[:, :1] * 0.0 + 1.0,
-        origins * 0.0,
+    radiance = trace_soa(
+        scene, to2d(origins), to2d(directions), depth=depth, prim_unroll=prim_chunk
     )
-    (_, _, _, accum), _ = jax.lax.scan(
-        level, carry, jnp.arange(depth + 1, dtype=jnp.int32)
-    )
-    return accum
-
-
-def _chunked_over_rays(fn, o: jnp.ndarray, d: jnp.ndarray, ray_chunk: int):
-    """Apply ``fn([C,3],[C,3]) -> [C,k]`` over ray chunks via ``lax.map``.
-
-    Sequential over chunks: bounds peak memory to one chunk's intermediates
-    while each chunk is still large enough to saturate the VPU. This is the
-    memory-tiling role the OpenMP scanline split played on CPU (README.md:13)
-    — the *parallelism* role moves to the device mesh (parallel/).
-    """
-    p = o.shape[0]
-    if p <= ray_chunk:
-        return fn(o, d)
-    k = -(-p // ray_chunk)
-    pad = k * ray_chunk - p
-    if pad:
-        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
-        d = jnp.concatenate(
-            [d, jnp.tile(jnp.array([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))], axis=0
-        )
-    o = o.reshape(k, ray_chunk, 3)
-    d = d.reshape(k, ray_chunk, 3)
-    out = jax.lax.map(lambda od: fn(od[0], od[1]), (o, d))
-    out = out.reshape(k * ray_chunk, *out.shape[2:])
+    out = radiance.stacked().reshape(rows * lanes, 3)
     return out[:p] if pad else out
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "depth", "tonemap", "prim_chunk", "ray_chunk"),
+    static_argnames=("width", "height", "depth", "tonemap", "prim_chunk", "row_chunk"),
 )
 def render(
     scene: Scene,
@@ -132,29 +78,36 @@ def render(
     *,
     depth: int = 3,
     tonemap: bool = True,
-    prim_chunk: int = 128,
-    ray_chunk: int = 1 << 19,
+    prim_chunk: int = 64,
+    row_chunk: int = 0,
 ) -> jnp.ndarray:
     """Render the scene to an ``[H, W, 3]`` float image in [0, 1).
 
-    The full forward pass (rebuild of one ``rt_scene`` frame, main.cpp:124-139
-    plus the missing tone-map stage): ray generation -> bounce scan ->
-    Reinhard tone map, one jit-compiled program.
+    The full forward pass (one ``rt_scene`` frame, main.cpp:124-139, plus the
+    tone-map stage the reference README promises): raygen -> fused bounce
+    loop -> Reinhard, one compiled program. ``row_chunk=0`` auto-picks a
+    row tiling that bounds peak memory on large frames.
     """
-    frame = camera_frame(camera, width, height)
-    o, d = generate_rays(frame, width, height)
-    radiance = _chunked_over_rays(
-        lambda oo, dd: trace_rays(scene, oo, dd, depth=depth, prim_chunk=prim_chunk),
-        o.reshape(-1, 3),
-        d.reshape(-1, 3),
-        ray_chunk,
-    )
-    img = radiance.reshape(height, width, 3)
+    rows = _row_chunks(width, height, row_chunk)
+    tiles = []
+    for r0 in range(0, height, rows):
+        tile = render_tile(
+            scene,
+            camera,
+            width,
+            height,
+            row_offset=r0,
+            rows=min(rows, height - r0),
+            depth=depth,
+            prim_unroll=prim_chunk,
+        )
+        tiles.append(tile.stacked())
+    img = tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, axis=0)
     return reinhard_tonemap(img) if tonemap else img
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "prim_chunk", "ray_chunk")
+    jax.jit, static_argnames=("width", "height", "prim_chunk", "row_chunk")
 )
 def render_depth(
     scene: Scene,
@@ -162,8 +115,8 @@ def render_depth(
     width: int,
     height: int,
     *,
-    prim_chunk: int = 128,
-    ray_chunk: int = 1 << 19,
+    prim_chunk: int = 64,
+    row_chunk: int = 0,
 ) -> jnp.ndarray:
     """Depth-only pass: closest-hit distance per pixel, ``[H, W]``.
 
@@ -171,12 +124,14 @@ def render_depth(
     1-D depth buffers (README.md:28-37) and BASELINE config 1's
     "depth-only pass".
     """
-    frame = camera_frame(camera, width, height)
-    o, d = generate_rays(frame, width, height)
+    from raytracer_tpu.ops.trace import raygen_tile
 
-    def depth_fn(oo, dd):
-        rec = closest_hit(scene, oo, dd, prim_chunk=prim_chunk)
-        return jnp.where(rec.hit, rec.t, jnp.inf)[:, None]
-
-    t = _chunked_over_rays(depth_fn, o.reshape(-1, 3), d.reshape(-1, 3), ray_chunk)
-    return t.reshape(height, width)
+    rows = _row_chunks(width, height, row_chunk)
+    tiles = []
+    for r0 in range(0, height, rows):
+        o, d = raygen_tile(
+            camera, width, height, row_offset=r0, rows=min(rows, height - r0)
+        )
+        rec = closest_hit_soa(scene, o, d, prim_unroll=prim_chunk)
+        tiles.append(jnp.where(rec.hit, rec.t, jnp.inf))
+    return tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, axis=0)

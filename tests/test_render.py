@@ -87,12 +87,12 @@ def test_depth_zero_matches_reference_remaining_zero():
     assert np.isclose(img, want, atol=1e-4).mean() > 0.999
 
 
-def test_ray_chunking_invariance():
-    """Chunked lax.map over rays must be bit-identical to one big batch."""
+def test_row_chunking_invariance():
+    """Row-chunked rendering must be bit-identical to one big batch."""
     scene = scenes.reference_demo_scene()
     cam = scenes.reference_demo_camera()
-    a = np.asarray(integrator.render(scene, cam, 64, 48, depth=2, ray_chunk=1 << 20))
-    b = np.asarray(integrator.render(scene, cam, 64, 48, depth=2, ray_chunk=512))
+    a = np.asarray(integrator.render(scene, cam, 64, 48, depth=2, row_chunk=0))
+    b = np.asarray(integrator.render(scene, cam, 64, 48, depth=2, row_chunk=7))
     np.testing.assert_array_equal(a, b)
 
 
