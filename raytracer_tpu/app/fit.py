@@ -1,0 +1,130 @@
+"""Differentiable-fit driver (BASELINE config 4).
+
+Self-contained inverse-rendering demo: render a target image of the true
+scene, perturb sphere centers/colors, then recover them by Adam through the
+soft-visibility renderer (diff/soft.py — hard argmin visibility has no
+silhouette gradients). Checkpoints optimizer state every few steps
+(utils/checkpoint.py) and exports target/initial/final frames.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from raytracer_tpu.app.config import RenderConfig
+from raytracer_tpu.diff import render_soft
+from raytracer_tpu.io import save_png
+from raytracer_tpu.utils.checkpoint import load_pytree, save_pytree
+
+__all__ = ["run_fit"]
+
+
+def run_fit(
+    cfg: RenderConfig,
+    *,
+    steps: int = 200,
+    lr: float = 2e-2,
+    perturb: float = 0.15,
+    soft_tau: float = 0.01,
+    out_dir: Path = Path("fit_out"),
+    resume: str | None = None,
+    checkpoint_every: int = 50,
+    log_every: int = 10,
+) -> int:
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    w, h = cfg.width, cfg.height
+
+    truth = cfg.build_scene()
+    camera = cfg.build_camera()
+    target = render_soft(truth, camera, w, h, tau=soft_tau, tonemap=cfg.tonemap)
+    save_png(out_dir / "target.png", np.asarray(target))
+
+    rng = np.random.default_rng(0)
+    n = len(truth.spheres)
+    params = {
+        "center": truth.spheres.center
+        + jnp.asarray(rng.uniform(-perturb, perturb, (n, 3)), jnp.float32),
+        "color": jnp.clip(
+            truth.spheres.material.color
+            + jnp.asarray(rng.uniform(-perturb, perturb, (n, 3)), jnp.float32),
+            0.0,
+            1.0,
+        ),
+    }
+    opt = optax.adam(lr)
+    state = {"params": params, "opt": opt.init(params), "step": jnp.int32(0)}
+    if resume:
+        state = load_pytree(resume, state)
+
+    def apply(scene, p):
+        spheres = scene.spheres.replace(
+            center=p["center"],
+            material=scene.spheres.material.replace(color=p["color"]),
+        )
+        return scene.replace(spheres=spheres)
+
+    @jax.jit
+    def step_fn(state):
+        def loss_fn(p):
+            img = render_soft(
+                apply(truth, p), camera, w, h, tau=soft_tau, tonemap=cfg.tonemap
+            )
+            return jnp.mean((img - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        updates, opt_state = opt.update(grads, state["opt"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        return {"params": params, "opt": opt_state, "step": state["step"] + 1}, loss
+
+    save_png(
+        out_dir / "initial.png",
+        np.asarray(
+            render_soft(
+                apply(truth, state["params"]), camera, w, h,
+                tau=soft_tau, tonemap=cfg.tonemap,
+            )
+        ),
+    )
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, loss = step_fn(state)
+        if (i + 1) % log_every == 0 or i == 0:
+            err = float(
+                jnp.abs(state["params"]["center"] - truth.spheres.center).mean()
+            )
+            print(
+                json.dumps(
+                    {
+                        "step": int(state["step"]),
+                        "loss": float(loss),
+                        "center_err": err,
+                        "elapsed_s": round(time.perf_counter() - t0, 2),
+                    }
+                ),
+                flush=True,
+            )
+        if (i + 1) % checkpoint_every == 0:
+            save_pytree(out_dir / "checkpoint.npz", state)
+
+    save_pytree(out_dir / "checkpoint.npz", state)
+    save_png(
+        out_dir / "final.png",
+        np.asarray(
+            render_soft(
+                apply(truth, state["params"]), camera, w, h,
+                tau=soft_tau, tonemap=cfg.tonemap,
+            )
+        ),
+    )
+    final_err = float(jnp.abs(state["params"]["center"] - truth.spheres.center).mean())
+    print(json.dumps({"final_center_err": final_err, "final_loss": float(loss)}))
+    return 0

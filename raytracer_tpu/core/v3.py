@@ -74,8 +74,12 @@ class V3(NamedTuple):
     def norm(self) -> jnp.ndarray:
         return jnp.sqrt(self.norm2())
 
-    def normalized(self) -> "V3":
-        return self * jax.lax.rsqrt(self.norm2())
+    def normalized(self, eps: float = 0.0) -> "V3":
+        """Unit vector; ``eps > 0`` guards the zero vector (rsqrt(0) = inf)."""
+        n2 = self.norm2()
+        if eps:
+            n2 = jnp.maximum(n2, eps)
+        return self * jax.lax.rsqrt(n2)
 
     def cross(self, o: "V3") -> "V3":
         return V3(

@@ -1,0 +1,212 @@
+"""Soft (relaxed) visibility rendering for gradient-based geometry fitting.
+
+The hard renderer's argmin visibility has zero gradient at silhouettes: a
+sphere's *edge* never moves under ``jax.grad``, so fitting sphere centers to
+a target image stalls (SURVEY.md §7 hard part #1). This module is the
+differentiable path BASELINE.json requires — a temperature-controlled
+relaxation of the intersection/occlusion pipeline:
+
+* **coverage** ``alpha_i``: each primitive's hard hit test becomes a sigmoid
+  in its decision quantity — the sphere discriminant ``B^2 - C``
+  (scene.cpp:47-53 made smooth) and the wall's rectangle bounds
+  (scene.cpp:29) — times a behind-camera cut;
+* **occlusion**: the closest-hit argmin (main.cpp:67-84) becomes a softmax
+  over *relative* depth ``-(t_i - t_ref)/tau_z``, where ``t_ref`` is the
+  per-ray hard front depth computed in a first, stop-gradiented pass
+  (anchoring depths keeps the softmax bounded for any scene scale);
+* **background**: primitives union-composite with coverage
+  ``A = 1 - prod(1 - alpha_i)`` over the sky (main.cpp:28-37);
+* **shading**: full Blinn-Phong at each primitive's own soft hit point
+  (same math as ops/trace.py), blended by the soft weights.
+
+Both passes stream over primitives (flash-attention-style running
+logsumexp), so memory is O(1) in primitive count. As ``tau -> 0`` the
+output converges to the hard render; tests check that limit and agreement
+of gradients with finite differences.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.core.types import Camera, Lights, Scene
+from raytracer_tpu.core.v3 import V3
+from raytracer_tpu.ops.tonemap import reinhard_tonemap
+from raytracer_tpu.ops.trace import (
+    _light_terms,
+    _wall_tables,
+    background_soa,
+    raygen_tile,
+)
+
+__all__ = ["trace_soft", "render_soft"]
+
+_FAR = 1e4  # reference depth for rays that hit nothing
+_ALPHA_REF = 0.3  # coverage needed to anchor the reference depth
+_LOG_EPS = 1e-20
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def _shade_point(point: V3, normal: V3, view: V3, color: V3, amb, kd, ks, exp,
+                 lights: Lights):
+    """Blinn-Phong at one primitive's soft hit point (main.cpp:102-104)."""
+    zeros = jnp.zeros_like(point.x)
+    intensity = V3(zeros, zeros, zeros)
+    for li in range(lights.point_position.shape[0]):
+        lp = V3.from_stacked(lights.point_position[li])
+        lc = V3.from_stacked(lights.point_color[li])
+        ldir = (lp - point).normalized(eps=1e-12)
+        diff, spec = _light_terms(ldir, normal, view, exp)
+        intensity = intensity + lc * (diff * kd + spec * ks)
+    sun_dir = V3.from_stacked(lights.sun_direction).normalized()
+    sun_col = V3.from_stacked(lights.sun_color)
+    ones = jnp.ones_like(point.x)
+    sdir = V3(sun_dir.x * ones, sun_dir.y * ones, sun_dir.z * ones)
+    sdiff, sspec = _light_terms(sdir, normal, view, exp)
+    intensity = intensity + sun_col * (sdiff * kd + sspec * ks)
+    return color * (intensity + amb)
+
+
+def _sphere_alpha_t(scene: Scene, i: int, o: V3, d: V3, tau: float):
+    """(coverage, soft hit distance, hit point, normal) for sphere ``i``."""
+    spheres = scene.spheres
+    c = V3.from_stacked(spheres.center[i])
+    r = spheres.radius[i]
+    oc = o - c
+    b_half = d.dot(oc)
+    cc = oc.norm2() - r * r
+    disc = b_half * b_half - cc  # > 0 inside the silhouette
+    # Smooth continuation of the hit distance past the silhouette.
+    # Double-where: sqrt'(0) is inf, so keep the sqrt argument away from 0
+    # on the masked branch (0 * inf = NaN would poison reverse mode).
+    pos = disc > 0.0
+    sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
+    t = -b_half - jnp.where(pos, sq, 0.0)
+    # Edge softness in world units: |d(disc)/d(perp dist)| at the rim ~ 2r.
+    alpha = _sigmoid(disc / (tau * 2.0 * jnp.maximum(r, 1e-6)))
+    alpha = alpha * _sigmoid(t / jnp.maximum(tau, 1e-6))  # behind-camera cut
+    point = o + d * t
+    # Normalize (don't just divide by r): off-silhouette continuation points
+    # sit at distance rho >> r from the center, and a non-unit pseudo-normal
+    # overflows the shading pow (base^50) to inf, which the alpha-masked
+    # composite would turn into inf/NaN pixels.
+    n = (point - c).normalized(eps=1e-12)
+    return alpha, t, point, n
+
+
+def _wall_alpha_t(tab: dict, i: int, o: V3, d: V3, tau: float):
+    """(coverage, hit distance, hit point, normal) for wall ``i``."""
+    denom = d.x * tab["nx"][i] + d.y * tab["ny"][i] + d.z * tab["nz"][i]
+    ok = jnp.abs(denom) > 1e-6
+    t = (
+        tab["dplane"][i]
+        - (o.x * tab["nx"][i] + o.y * tab["ny"][i] + o.z * tab["nz"][i])
+    ) / jnp.where(ok, denom, 1.0)
+    point = o + d * t
+    relx = point.x - tab["px"][i]
+    rely = point.y - tab["py"][i]
+    relz = point.z - tab["pz"][i]
+    u = relx * tab["rx"][i] + rely * tab["ry"][i] + relz * tab["rz"][i]
+    v = relx * tab["ux"][i] + rely * tab["uy"][i] + relz * tab["uz"][i]
+    alpha = (
+        _sigmoid(u / tau)
+        * _sigmoid((tab["length"][i] - u) / tau)
+        * _sigmoid(v / tau)
+        * _sigmoid((tab["width"][i] - v) / tau)
+        * _sigmoid(t / jnp.maximum(tau, 1e-6))
+        * ok.astype(jnp.float32)
+    )
+    n = V3(
+        jnp.full_like(t, tab["nx"][i]),
+        jnp.full_like(t, tab["ny"][i]),
+        jnp.full_like(t, tab["nz"][i]),
+    )
+    return alpha, t, point, n
+
+
+def trace_soft(
+    scene: Scene,
+    o: V3,
+    d: V3,
+    *,
+    tau: float = 0.02,
+    tau_z: float = 0.05,
+) -> V3:
+    """Softly-composited radiance per ray (primary visibility)."""
+    shape = jnp.broadcast_shapes(o.x.shape, d.x.shape)
+    o = V3(*[jnp.broadcast_to(c, shape) for c in o])
+    view = -d
+    lights = scene.lights
+    walls = scene.walls
+    tab = _wall_tables(walls) if len(walls) else None
+
+    def prims(oo, dd):
+        for i in range(len(scene.spheres)):
+            yield "sphere", i, _sphere_alpha_t(scene, i, oo, dd, tau)
+        for i in range(len(walls)):
+            yield "wall", i, _wall_alpha_t(tab, i, oo, dd, tau)
+
+    # Pass 1 (stop-grad): hard front depth t_ref per ray — the softmax anchor.
+    sg = jax.lax.stop_gradient
+    o_sg = jax.tree_util.tree_map(sg, o)
+    d_sg = jax.tree_util.tree_map(sg, d)
+    t_ref = jnp.full(shape, _FAR)
+    for _, _, (alpha, t, _, _) in prims(o_sg, d_sg):
+        t_ref = jnp.minimum(t_ref, jnp.where(alpha > _ALPHA_REF, t, _FAR))
+    t_ref = sg(t_ref)
+
+    # Pass 2: streaming depth-softmax of shaded colors + union coverage.
+    m = jnp.full(shape, -jnp.inf)  # running max logit
+    s = jnp.zeros(shape)  # running exp-sum
+    acc = V3.fill(shape, 0.0)  # running weighted color
+    log_transmit = jnp.zeros(shape)  # sum log(1 - alpha)
+
+    for kind, i, (alpha, t, point, n) in prims(o, d):
+        mat = scene.spheres.material if kind == "sphere" else walls.material
+        col = _shade_point(
+            point, n, view, V3.from_stacked(mat.color[i]), mat.ambient[i],
+            mat.diffuse[i], mat.specular[i], mat.specular_exponent[i], lights,
+        )
+        logit = jnp.log(alpha + _LOG_EPS) - jnp.maximum(t - t_ref, 0.0) / tau_z
+        m_new = jnp.maximum(m, logit)
+        scale = jnp.where(m > -jnp.inf, jnp.exp(m - m_new), 0.0)
+        e = jnp.exp(logit - m_new)
+        s = s * scale + e
+        acc = acc * scale + col * e
+        m = m_new
+        log_transmit = log_transmit + jnp.log1p(-jnp.minimum(alpha, 1.0 - 1e-7))
+
+    sky = background_soa(d, scene.sky)
+    if len(scene.spheres) + len(walls) == 0:
+        return sky
+
+    coverage = 1.0 - jnp.exp(log_transmit)  # union of all alphas
+    fg = acc * (1.0 / jnp.maximum(s, 1e-30))
+    return fg * coverage + sky * (1.0 - coverage)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "tonemap"))
+def render_soft(
+    scene: Scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    *,
+    tau: float = 0.02,
+    tau_z: float = 0.05,
+    tonemap: bool = True,
+) -> jnp.ndarray:
+    """Soft-visibility render to ``[H, W, 3]`` — the fit-loop forward pass.
+
+    ``tau`` is the silhouette softness in world units; ``tau_z`` the
+    depth-ordering softness. Small values converge to the hard render.
+    """
+    o, d = raygen_tile(camera, width, height)
+    img = trace_soft(scene, o, d, tau=tau, tau_z=tau_z).stacked()
+    return reinhard_tonemap(img) if tonemap else img

@@ -1,0 +1,238 @@
+"""Pallas TPU megakernel for the closest-hit min-fold.
+
+The rays/s-critical kernel (SURVEY.md §7 build plan step 3): a tile of rays
+is pinned in VMEM while the kernel loops over every primitive, folding a
+running (min-t, argmin-index) carry — the reference's ``find_closest_hit``
+linear scan (main.cpp:67-84) restructured as (ray-tile x primitive-loop)
+with zero HBM traffic per primitive.
+
+Versus the fused-jnp fold, this removes the chunk-``lax.scan`` that round
+-trips the [H, W] carry through HBM every ``prim_unroll`` primitives on
+large scenes, and hoists the per-ray invariants (|o|^2, d.o) out of the
+primitive loop:
+
+    sphere test per primitive (scene.cpp:40-78, a = |d|^2 = 1):
+      B = d.o - d.c          C = |o|^2 - 2 o.c + (|c|^2 - r^2)
+      disc = B^2 - C         t = -B - sqrt(disc)
+    accept iff disc >= 0 and t > 0 and t < best (strict '<': main.cpp:77)
+
+The fold is selection-only (argmin), so it runs gradient-free — the
+differentiable path re-evaluates the winner's t outside (ops/trace.py's
+``_winner_t``); no custom VJP is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracer_tpu.core.types import Scene
+from raytracer_tpu.core.v3 import V3
+from raytracer_tpu.ops.trace import MISS_T, _wall_tables
+
+__all__ = ["fold_closest_pallas", "pallas_available"]
+
+_LANES = 128
+_TILE_ROWS = 256  # rays per tile = 256 x 128 = 32768; carries stay in VMEM
+_UNROLL = 8
+
+
+def pallas_available() -> bool:
+    """Pallas TPU kernels need a TPU backend (tests use interpret mode)."""
+    return jax.default_backend() not in ("cpu",)
+
+
+def _kernel(n_s: int, n_w: int, wall_base: int):
+    """Build the fold kernel for a (sphere-count, wall-count) configuration.
+
+    ``n_s``/``n_w`` are the padded table sizes (multiples of _UNROLL; pad
+    entries are guaranteed misses); ``wall_base`` is the REAL sphere count,
+    so wall winners carry the global index ``wall_base + n`` that
+    ``gather_hit`` expects.
+    """
+
+    def kernel(
+        # scalar-prefetch primitive tables (SMEM)
+        cx, cy, cz, cr2,  # spheres: center xyz, |c|^2 - r^2          [n_s]
+        nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz, px, py, pz, ln, wd,  # walls
+        # ray tile (VMEM)
+        ox, oy, oz, dx, dy, dz,
+        # outputs (VMEM)
+        bt_ref, bi_ref,
+    ):
+        vox, voy, voz = ox[:], oy[:], oz[:]
+        vdx, vdy, vdz = dx[:], dy[:], dz[:]
+        oo = vox * vox + voy * voy + voz * voz  # per-ray invariants, hoisted
+        do = vdx * vox + vdy * voy + vdz * voz
+
+        best_t = jnp.full((_TILE_ROWS, _LANES), MISS_T, jnp.float32)
+        best_i = jnp.full((_TILE_ROWS, _LANES), -1, jnp.int32)
+
+        def sphere_one(n, carry):
+            bt, bi = carry
+            s = vdx * cx[n] + vdy * cy[n] + vdz * cz[n]  # d.c
+            m = vox * cx[n] + voy * cy[n] + voz * cz[n]  # o.c
+            b_half = do - s
+            c_full = oo - 2.0 * m + cr2[n]
+            disc = b_half * b_half - c_full
+            t = -b_half - jnp.sqrt(jnp.maximum(disc, 0.0))
+            win = (disc >= 0.0) & (t > 0.0) & (t < bt)
+            return jnp.where(win, t, bt), jnp.where(win, n, bi)
+
+        # Mosaic only supports unroll=1 fori_loops; unroll by hand over
+        # _UNROLL-primitive chunks (tables are padded to a multiple).
+        def sphere_chunk(k, carry):
+            for u in range(_UNROLL):
+                carry = sphere_one(k * _UNROLL + u, carry)
+            return carry
+
+        if n_s:
+            best_t, best_i = jax.lax.fori_loop(
+                0, n_s // _UNROLL, sphere_chunk, (best_t, best_i)
+            )
+
+        def wall_one(n, carry):
+            bt, bi = carry
+            denom = vdx * nx[n] + vdy * ny[n] + vdz * nz[n]
+            num = dpl[n] - (vox * nx[n] + voy * ny[n] + voz * nz[n])
+            ok = jnp.abs(denom) > 1e-12
+            t = num / jnp.where(ok, denom, 1.0)
+            relx = vox + vdx * t - px[n]
+            rely = voy + vdy * t - py[n]
+            relz = voz + vdz * t - pz[n]
+            u = relx * rx[n] + rely * ry[n] + relz * rz[n]
+            v = relx * ux[n] + rely * uy[n] + relz * uz[n]
+            win = (
+                ok
+                & (t > 0.0)
+                & (u >= 0.0)
+                & (u <= ln[n])
+                & (v >= 0.0)
+                & (v <= wd[n])
+                & (t < bt)
+            )
+            return jnp.where(win, t, bt), jnp.where(win, wall_base + n, bi)
+
+        def wall_chunk(k, carry):
+            for u in range(_UNROLL):
+                carry = wall_one(k * _UNROLL + u, carry)
+            return carry
+
+        if n_w:
+            best_t, best_i = jax.lax.fori_loop(
+                0, n_w // _UNROLL, wall_chunk, (best_t, best_i)
+            )
+
+        bt_ref[:] = best_t
+        bi_ref[:] = best_i
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_s", "n_w", "wall_base", "interpret")
+)
+def _fold_flat(tables, rays, *, n_s: int, n_w: int, wall_base: int, interpret: bool):
+    """Run the kernel over a flat padded ray batch ``[M, 128]`` x 6."""
+    m = rays[0].shape[0]
+    grid = m // _TILE_ROWS
+
+    # index maps receive the scalar-prefetch refs after the grid indices
+    ray_spec = pl.BlockSpec(
+        (_TILE_ROWS, _LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (_TILE_ROWS, _LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=19,
+        grid=(grid,),
+        in_specs=[ray_spec] * 6,
+        out_specs=(out_spec, out_spec),
+    )
+    return pl.pallas_call(
+        _kernel(n_s, n_w, wall_base),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((m, _LANES), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*tables, *rays)
+
+
+def fold_closest_pallas(
+    scene: Scene, o: V3, d: V3, *, interpret: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(min-t, argmin index) for each ray — Pallas drop-in for the jnp fold.
+
+    Accepts any-shaped ray tiles (components broadcastable to a common
+    shape); flattens to [M, 128] tiles, pads the remainder with dead rays,
+    and crops the result back.
+    """
+    shape = jnp.broadcast_shapes(o.x.shape, d.x.shape)
+    p = 1
+    for s in shape:
+        p *= s
+    tile = _TILE_ROWS * _LANES
+    m_rows = -(-p // tile) * _TILE_ROWS
+    pad = m_rows * _LANES - p
+
+    def flat(c, fill):
+        c = jnp.broadcast_to(c, shape).reshape(-1)
+        if pad:
+            c = jnp.concatenate([c, jnp.full((pad,), fill, c.dtype)])
+        return c.reshape(m_rows, _LANES)
+
+    rays = (
+        flat(o.x, 0.0), flat(o.y, 0.0), flat(o.z, 0.0),
+        flat(d.x, 0.0), flat(d.y, 0.0), flat(d.z, 1.0),
+    )
+
+    s = scene.spheres
+    cr2 = (
+        s.center[:, 0] ** 2 + s.center[:, 1] ** 2 + s.center[:, 2] ** 2
+        - s.radius * s.radius
+    )
+    w = _wall_tables(scene.walls)
+    tables = (
+        s.center[:, 0], s.center[:, 1], s.center[:, 2], cr2,
+        w["nx"], w["ny"], w["nz"], w["dplane"],
+        w["rx"], w["ry"], w["rz"], w["ux"], w["uy"], w["uz"],
+        w["px"], w["py"], w["pz"], w["length"], w["width"],
+    )
+    # Pad tables to a multiple of the manual unroll with guaranteed-miss
+    # entries: spheres with |c|^2 - r^2 = +1e30 give disc < 0 for any real
+    # ray; walls with zero normal (denominator 0) and negative extents never
+    # pass the bounds test. Empty tables become one dead entry (loop bound 0).
+    def pad_table(t, size, fill):
+        n = t.shape[0]
+        if n == size:
+            return t
+        return jnp.concatenate([t, jnp.full((size - n,), fill, jnp.float32)])
+
+    n_s, n_w = len(s), len(scene.walls)
+    n_s_pad = max(_UNROLL, -(-n_s // _UNROLL) * _UNROLL)
+    n_w_pad = max(_UNROLL, -(-n_w // _UNROLL) * _UNROLL)
+    tables = tuple(
+        pad_table(t, n_s_pad, 1e30 if i == 3 else 0.0)
+        if i < 4
+        else pad_table(t, n_w_pad, -1.0 if i >= 17 else 0.0)
+        for i, t in enumerate(tables)
+    )
+
+    bt, bi = _fold_flat(
+        tables,
+        rays,
+        n_s=n_s_pad if n_s else 0,
+        n_w=n_w_pad if n_w else 0,
+        wall_base=n_s,
+        interpret=interpret,
+    )
+    bt = bt.reshape(-1)[:p].reshape(shape)
+    bi = bi.reshape(-1)[:p].reshape(shape)
+    return bt, bi

@@ -221,14 +221,14 @@ def _fold_walls(walls, o: V3, d: V3, best, base: int):
     return best
 
 
-def closest_hit_soa(
+def fold_closest_jnp(
     scene: Scene, o: V3, d: V3, *, prim_unroll: int = 64
-) -> SoAHit:
-    """Closest hit of every ray in the tile against the whole scene.
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(min-t, argmin global index) of every ray vs the scene, pure jnp.
 
-    The linear virtual-dispatch scan of the reference (main.cpp:67-84)
-    becomes two fused min-folds plus one gather of the winner's attributes.
-    Global primitive numbering: spheres ``[0, n_s)`` then walls.
+    The linear virtual-dispatch scan of the reference (main.cpp:67-84) as two
+    fused min-folds. Global primitive numbering: spheres ``[0, n_s)``, then
+    walls.
     """
     n_s, n_w = len(scene.spheres), len(scene.walls)
     # Derive the carry init arithmetically from the rays (not via jnp.full)
@@ -240,7 +240,74 @@ def closest_hit_soa(
         best = _fold_spheres(scene.spheres, o, d, best, 0, prim_unroll)
     if n_w:
         best = _fold_walls(scene.walls, o, d, best, n_s)
-    return gather_hit(scene, o, d, best[0], best[1])
+    return best
+
+
+def _winner_t(
+    scene: Scene, o: V3, d: V3, best_t: jnp.ndarray, best_i: jnp.ndarray
+) -> jnp.ndarray:
+    """Differentiable re-evaluation of the winning primitive's hit distance.
+
+    The fold itself runs under ``stop_gradient`` (selection is a discrete
+    argmin — zero gradient a.e.); gradients flow through this O(rays)
+    recompute of t for the *winner only*, instead of transposing the whole
+    O(rays x prims) fold. Also what makes a gradient-free Pallas fold
+    drop-in: the backward pass never needs the fold's VJP.
+    """
+    n_s, n_w = len(scene.spheres), len(scene.walls)
+    hit = best_t < MISS_T
+
+    t = best_t  # miss lanes: constant MISS_T (stop-gradded by caller)
+    if n_s:
+        si = jnp.clip(best_i, 0, n_s - 1)
+        c = V3.from_stacked(scene.spheres.center).take(si)
+        r = jnp.take(scene.spheres.radius, si, mode="clip")
+        oc = o - c
+        b = 2.0 * d.dot(oc)
+        cc = oc.norm2() - r * r
+        det = b * b - 4.0 * cc
+        pos = det >= 0.0
+        sq = jnp.sqrt(jnp.where(pos, det, 1.0))
+        t_s = jnp.where(pos, 0.5 * (-b - sq), 1.0)
+        is_sphere = hit & (best_i < n_s)
+        t = jnp.where(is_sphere, t_s, t)
+    if n_w:
+        wi = jnp.clip(best_i - n_s, 0, n_w - 1)
+        n = V3.from_stacked(scene.walls.normal).take(wi)
+        p = V3.from_stacked(scene.walls.position).take(wi)
+        denom = d.dot(n)
+        ok = jnp.abs(denom) > 1e-12
+        t_w = (p - o).dot(n) / jnp.where(ok, denom, 1.0)
+        is_wall = hit & (best_i >= n_s)
+        t = jnp.where(is_wall, jnp.where(ok, t_w, best_t), t)
+    return t
+
+
+def closest_hit_soa(
+    scene: Scene,
+    o: V3,
+    d: V3,
+    *,
+    prim_unroll: int = 64,
+    fold_fn: Callable | None = None,
+) -> SoAHit:
+    """Closest hit of each ray: gradient-free fold + differentiable regather.
+
+    ``fold_fn(scene, o, d) -> (best_t, best_i)`` selects the winning
+    primitive (default: the fused jnp fold; the Pallas kernel slots in
+    here). It runs on stop-gradiented inputs; the winner's t, hit point,
+    normal, and material are then recomputed/gathered differentiably.
+    """
+    sg = jax.lax.stop_gradient
+    scene_sg, o_sg, d_sg = jax.tree_util.tree_map(sg, (scene, o, d))
+    if fold_fn is None:
+        best_t, best_i = fold_closest_jnp(
+            scene_sg, o_sg, d_sg, prim_unroll=prim_unroll
+        )
+    else:
+        best_t, best_i = fold_fn(scene_sg, o_sg, d_sg)
+    t = _winner_t(scene, o, d, best_t, best_i)
+    return gather_hit(scene, o, d, t, best_i)
 
 
 def gather_hit(
@@ -336,9 +403,17 @@ def background_soa(d: V3, sky: Sky) -> V3:
 
 
 def _light_terms(ldir: V3, normal: V3, view: V3, exponent):
-    """(diffuse, specular^e) for one light direction (main.cpp:42-62)."""
+    """(diffuse, specular^e) for one light direction (main.cpp:42-62).
+
+    The half-vector normalize is guarded: when the light direction exactly
+    opposes the view (view + ldir = 0 — e.g. the soft path's behind-camera
+    continuation points), rsqrt(0) would be inf; the guarded lane falls to
+    zero specular, the correct grazing limit.
+    """
     diffuse = jnp.maximum(ldir.dot(normal), 0.0)
-    half = (view + ldir).normalized()
+    hv = view + ldir
+    n2 = hv.norm2()
+    half = hv * jax.lax.rsqrt(jnp.where(n2 > 1e-12, n2, 1.0))
     base = jnp.maximum(half.dot(normal), 0.0)
     base_safe = jnp.where(base > 0.0, base, 1.0)  # 0**e has infinite d/d(base)
     specular = jnp.where(base > 0.0, base_safe**exponent, 0.0)
@@ -353,7 +428,7 @@ def shade_soa(rec: SoAHit, view: V3, lights: Lights) -> V3:
     for li in range(lights.point_position.shape[0]):
         lp = V3.from_stacked(lights.point_position[li])
         lc = V3.from_stacked(lights.point_color[li])
-        ldir = (lp - rec.point).normalized()
+        ldir = (lp - rec.point).normalized(eps=1e-12)
         diff, spec = _light_terms(ldir, rec.normal, view, exp)
         intensity = intensity + lc * (diff * kd + spec * ks)
 
@@ -372,6 +447,25 @@ def shade_soa(rec: SoAHit, view: V3, lights: Lights) -> V3:
 # ---------------------------------------------------------------------------
 
 
+def resolve_fold_fn(fold: str, prim_unroll: int) -> Callable | None:
+    """Map a fold selector to a fold_fn for ``closest_hit_soa``.
+
+    ``"jnp"`` — the fused jnp fold; ``"pallas"`` — the Pallas megakernel
+    (ops/pallas_fold.py); ``"auto"`` — Pallas on TPU backends, jnp on CPU.
+    """
+    if fold == "auto":
+        from raytracer_tpu.ops.pallas_fold import pallas_available
+
+        fold = "pallas" if pallas_available() else "jnp"
+    if fold == "pallas":
+        from raytracer_tpu.ops.pallas_fold import fold_closest_pallas
+
+        return fold_closest_pallas
+    if fold == "jnp":
+        return None  # closest_hit_soa's built-in default
+    raise ValueError(f"unknown fold backend: {fold!r}")
+
+
 def trace_soa(
     scene: Scene,
     o: V3,
@@ -379,6 +473,7 @@ def trace_soa(
     *,
     depth: int = 3,
     prim_unroll: int = 64,
+    fold: str = "auto",
     closest_hit_fn: Callable[[Scene, V3, V3], SoAHit] | None = None,
 ) -> V3:
     """Radiance per ray (pre-tonemap), unrolling the reference recursion.
@@ -390,8 +485,12 @@ def trace_soa(
     unroll: static depth, one XLA fusion end to end.
     """
     if closest_hit_fn is None:
+        fold_fn = resolve_fold_fn(fold, prim_unroll)
+
         def closest_hit_fn(sc, oo, dd):
-            return closest_hit_soa(sc, oo, dd, prim_unroll=prim_unroll)
+            return closest_hit_soa(
+                sc, oo, dd, prim_unroll=prim_unroll, fold_fn=fold_fn
+            )
 
     shape = jnp.broadcast_shapes(o.x.shape, d.x.shape)
     o = V3(*[jnp.broadcast_to(c, shape) for c in o])
@@ -424,11 +523,12 @@ def render_tile(
     rows: int | None = None,
     depth: int = 3,
     prim_unroll: int = 64,
+    fold: str = "auto",
     closest_hit_fn=None,
 ) -> V3:
     """Raygen + trace for a row tile; returns radiance V3 of ``[rows, W]``."""
     o, d = raygen_tile(camera, width, height, row_offset=row_offset, rows=rows)
     return trace_soa(
-        scene, o, d, depth=depth, prim_unroll=prim_unroll,
+        scene, o, d, depth=depth, prim_unroll=prim_unroll, fold=fold,
         closest_hit_fn=closest_hit_fn,
     )

@@ -68,7 +68,9 @@ def trace_rays(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "depth", "tonemap", "prim_chunk", "row_chunk"),
+    static_argnames=(
+        "width", "height", "depth", "tonemap", "prim_chunk", "row_chunk", "fold"
+    ),
 )
 def render(
     scene: Scene,
@@ -80,6 +82,7 @@ def render(
     tonemap: bool = True,
     prim_chunk: int = 64,
     row_chunk: int = 0,
+    fold: str = "auto",
 ) -> jnp.ndarray:
     """Render the scene to an ``[H, W, 3]`` float image in [0, 1).
 
@@ -100,6 +103,7 @@ def render(
             rows=min(rows, height - r0),
             depth=depth,
             prim_unroll=prim_chunk,
+            fold=fold,
         )
         tiles.append(tile.stacked())
     img = tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, axis=0)

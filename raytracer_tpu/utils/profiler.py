@@ -1,0 +1,159 @@
+"""Performance profiling: per-phase timers and rays/s benchmarks.
+
+Rebuild of the reference's frame-time instrumentation — per-phase
+``std::chrono`` timers around the frame loop with exit-time averages
+(reference: main.cpp:168-173, 326-373, 384-392, gated by
+``performance_logging``, main.cpp:24) — upgraded to the metrics BASELINE.json
+asks for: primary rays/s per chip and the backward/forward wall-time ratio.
+
+Timing methodology (important on remote-dispatch TPU runtimes): a
+``block_until_ready``/scalar fetch per frame measures the host<->device
+round trip, not device time. All benchmarks here chain ``iters`` frames
+through a ~zero scalar data dependency and sync ONCE at the end.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.core.types import Camera, Scene
+
+__all__ = ["PhaseTimer", "benchmark_render", "benchmark_forward_backward"]
+
+
+class PhaseTimer:
+    """Accumulates wall-time samples per named phase; reports averages.
+
+    The TPU-side rebuild of the reference's ``std::vector<double>`` sample
+    lists + ``std::accumulate`` exit report (main.cpp:168-173, 384-392).
+    """
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled  # reference: performance_logging (main.cpp:24)
+        self.samples: dict[str, list[float]] = defaultdict(list)
+
+    @contextmanager
+    def phase(self, name: str):
+        if not self.enabled:
+            yield
+            return
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.samples[name].append(time.perf_counter() - t0)
+
+    def record(self, name: str, seconds: float) -> None:
+        if self.enabled:
+            self.samples[name].append(seconds)
+
+    def averages(self) -> dict[str, float]:
+        return {k: sum(v) / len(v) for k, v in self.samples.items() if v}
+
+    def report(self) -> str:
+        """Per-phase average summary (the exit printout, main.cpp:384-392)."""
+        lines = [
+            f"average {name} time: {avg * 1e3:.3f} ms  ({len(self.samples[name])} samples)"
+            for name, avg in sorted(self.averages().items())
+        ]
+        return "\n".join(lines)
+
+
+def _chain_timed(step: Callable, args, iters: int) -> float:
+    """Seconds/iter: warm once, chain ``iters`` calls by a ~0 scalar, sync once."""
+    f = jax.jit(step)
+    eps = jnp.float32(0)
+    float(f(*args, eps))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        eps = f(*args, eps)
+    float(eps)
+    return (time.perf_counter() - t0) / iters
+
+
+def benchmark_render(
+    scene: Scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    *,
+    depth: int = 3,
+    iters: int = 10,
+    fold: str = "auto",
+    tonemap: bool = True,
+) -> dict:
+    """Forward-render throughput: frame time and primary rays/s."""
+    from raytracer_tpu.render.integrator import render
+
+    def step(s, c, eps):
+        img = render(
+            s, c.replace(vfov=c.vfov + eps), width, height,
+            depth=depth, tonemap=tonemap, fold=fold,
+        )
+        return img.sum() * 1e-30
+
+    dt = _chain_timed(step, (scene, camera), iters)
+    return {
+        "frame_ms": dt * 1e3,
+        "primary_rays_per_s": width * height / dt,
+        "pixels": width * height,
+        "depth": depth,
+        "fold": fold,
+    }
+
+
+def benchmark_forward_backward(
+    scene: Scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    *,
+    depth: int = 1,
+    iters: int = 5,
+    fold: str = "auto",
+) -> dict:
+    """Forward vs forward+backward time; the bwd/fwd ratio metric.
+
+    Backward = gradient of an image MSE w.r.t. sphere centers and colors
+    (the differentiable-fit parameterization, BASELINE config 4).
+    """
+    from raytracer_tpu.parallel.train import merge_params
+    from raytracer_tpu.render.integrator import render
+
+    target = render(scene, camera, width, height, depth=depth, fold=fold)
+
+    def loss(params, s, c):
+        img = render(
+            merge_params(s, params), c, width, height, depth=depth, fold=fold
+        )
+        return jnp.mean((img - target) ** 2)
+
+    params = {
+        "center": scene.spheres.center,
+        "color": scene.spheres.material.color,
+    }
+
+    def fwd_step(s, c, eps):
+        p = {"center": params["center"] + eps, "color": params["color"]}
+        return loss(p, s, c) * 1e-30
+
+    def fwdbwd_step(s, c, eps):
+        p = {"center": params["center"] + eps, "color": params["color"]}
+        l, g = jax.value_and_grad(loss)(p, s, c)
+        return (l + g["center"].sum() + g["color"].sum()) * 1e-30
+
+    t_fwd = _chain_timed(fwd_step, (scene, camera), iters)
+    t_both = _chain_timed(fwdbwd_step, (scene, camera), iters)
+    t_bwd = max(t_both - t_fwd, 0.0)
+    return {
+        "forward_ms": t_fwd * 1e3,
+        "forward_backward_ms": t_both * 1e3,
+        "backward_ms": t_bwd * 1e3,
+        "bwd_fwd_ratio": t_both / t_fwd if t_fwd > 0 else float("inf"),
+    }

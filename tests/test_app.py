@@ -1,0 +1,87 @@
+"""App layer: configs, CLI render/bench/configs/view, fit driver smoke."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from raytracer_tpu.app.cli import main
+from raytracer_tpu.app.config import BASELINE_CONFIGS, get_config
+
+
+def test_baseline_configs_build():
+    for name, cfg in BASELINE_CONFIGS.items():
+        scene = cfg.build_scene()
+        assert scene.num_primitives >= 1, name
+        assert cfg.build_camera() is not None
+
+
+def test_get_config_overrides():
+    cfg = get_config("c3-1080p-3bounce", width=64, height=48)
+    assert (cfg.width, cfg.height) == (64, 48)
+    assert cfg.depth == 3
+
+
+def test_cli_render_png(tmp_path):
+    out = tmp_path / "f.png"
+    rc = main(
+        ["render", "--scene", "demo", "--width", "48", "--height", "36",
+         "--depth", "1", "-o", str(out)]
+    )
+    assert rc == 0 and out.exists()
+    from PIL import Image
+
+    assert Image.open(out).size == (48, 36)
+
+
+def test_cli_render_depth_only(tmp_path):
+    out = tmp_path / "d.png"
+    rc = main(
+        ["render", "--scene", "demo", "--width", "48", "--height", "36",
+         "--depth-only", "-o", str(out)]
+    )
+    assert rc == 0 and out.exists()
+
+
+def test_cli_bench_outputs_json(capsys):
+    rc = main(
+        ["bench", "--scene", "demo", "--width", "48", "--height", "36",
+         "--depth", "1", "--iters", "2"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    res = json.loads(out)
+    assert res["primary_rays_per_s"] > 0
+    assert res["frame_ms"] > 0
+
+
+def test_cli_configs(capsys):
+    assert main(["configs"]) == 0
+    assert "c3-1080p-3bounce" in capsys.readouterr().out
+
+
+def test_cli_view_noninteractive(capsys):
+    rc = main(
+        ["view", "--scene", "demo", "--width", "48", "--height", "36",
+         "--depth", "1", "--frames", "2", "--max-cols", "32"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "\x1b[38;2;" in out  # frames were presented
+    assert "average raytracing time" in out  # exit report (main.cpp:384-392)
+
+
+def test_fit_driver_smoke(tmp_path, capsys):
+    rc = main(
+        ["fit", "--scene", "grid", "--n", "4", "--width", "48", "--height", "36",
+         "--steps", "6", "--perturb", "0.08", "-o", str(tmp_path)]
+    )
+    assert rc == 0
+    assert (tmp_path / "target.png").exists()
+    assert (tmp_path / "final.png").exists()
+    assert (tmp_path / "checkpoint.npz").exists()
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    res = json.loads(last)
+    assert np.isfinite(res["final_loss"])
