@@ -25,7 +25,9 @@ from raytracer_tpu.core.types import (
     Spheres,
     Walls,
 )
-from raytracer_tpu.render.integrator import render, trace_rays
+from raytracer_tpu.diff import render_soft
+from raytracer_tpu.parallel import make_mesh, render_sharded
+from raytracer_tpu.render.integrator import render, render_depth, trace_rays
 
 __version__ = "0.1.0"
 
@@ -38,5 +40,9 @@ __all__ = [
     "Spheres",
     "Walls",
     "render",
+    "render_depth",
+    "render_soft",
+    "render_sharded",
+    "make_mesh",
     "trace_rays",
 ]

@@ -447,16 +447,29 @@ def shade_soa(rec: SoAHit, view: V3, lights: Lights) -> V3:
 # ---------------------------------------------------------------------------
 
 
-def resolve_fold_fn(fold: str, prim_unroll: int) -> Callable | None:
+# Below this many primitives the fully-fused jnp fold beats the Pallas
+# kernel: the kernel boundary costs one extra HBM round trip of the ray
+# tile, which only pays off once the in-VMEM primitive loop is long enough
+# (measured crossover on v5e: jnp 8.6ms vs pallas 11.7ms at 3 prims; pallas
+# ~3x faster at 1024).
+_PALLAS_MIN_PRIMS = 24
+
+
+def resolve_fold_fn(fold: str, prim_unroll: int, num_prims: int) -> Callable | None:
     """Map a fold selector to a fold_fn for ``closest_hit_soa``.
 
     ``"jnp"`` — the fused jnp fold; ``"pallas"`` — the Pallas megakernel
-    (ops/pallas_fold.py); ``"auto"`` — Pallas on TPU backends, jnp on CPU.
+    (ops/pallas_fold.py); ``"auto"`` — Pallas on TPU backends for scenes
+    with enough primitives to amortize the kernel boundary, jnp otherwise.
     """
     if fold == "auto":
         from raytracer_tpu.ops.pallas_fold import pallas_available
 
-        fold = "pallas" if pallas_available() else "jnp"
+        fold = (
+            "pallas"
+            if pallas_available() and num_prims >= _PALLAS_MIN_PRIMS
+            else "jnp"
+        )
     if fold == "pallas":
         from raytracer_tpu.ops.pallas_fold import fold_closest_pallas
 
@@ -485,7 +498,7 @@ def trace_soa(
     unroll: static depth, one XLA fusion end to end.
     """
     if closest_hit_fn is None:
-        fold_fn = resolve_fold_fn(fold, prim_unroll)
+        fold_fn = resolve_fold_fn(fold, prim_unroll, scene.num_primitives)
 
         def closest_hit_fn(sc, oo, dd):
             return closest_hit_soa(

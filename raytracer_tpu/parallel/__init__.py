@@ -17,11 +17,15 @@ transpose of the replicated in-spec), overlapped by XLA with the backward
 bounce scan.
 """
 
+from raytracer_tpu.parallel.hosts import initialize_distributed, is_multi_host, slice_mesh
 from raytracer_tpu.parallel.mesh import make_mesh, pad_scene_spheres, scene_pspecs
 from raytracer_tpu.parallel.render import render_sharded
 from raytracer_tpu.parallel.train import FitState, make_fit_step
 
 __all__ = [
+    "initialize_distributed",
+    "is_multi_host",
+    "slice_mesh",
     "make_mesh",
     "pad_scene_spheres",
     "scene_pspecs",
