@@ -22,13 +22,10 @@ import time
 import jax
 import jax.numpy as jnp
 
-# Persistent compile cache: the driver may run this in a fresh process and
-# the 1080p 3-bounce program takes ~20s to compile cold.
-try:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-except Exception:
-    pass
+# NOTE: do NOT enable jax's persistent compilation cache here — on this
+# remote-compile TPU runtime the cache write path hangs for minutes
+# (measured: 20s cold compile without cache, >9min with). Cold compile of
+# the 1080p 3-bounce program is ~20-40s, paid once per process.
 
 import raytracer_tpu as rt
 from raytracer_tpu.models import scenes

@@ -65,6 +65,7 @@ def _build_parser() -> argparse.ArgumentParser:
     add_scene_flags(v)
     v.add_argument("--max-cols", type=int, default=100)
     v.add_argument("--frames", type=int, default=0, help="exit after N frames")
+    v.add_argument("--log", default=None, help="write frame-time .log on exit")
 
     sub.add_parser("configs", help="list the BASELINE configurations")
     return p
@@ -169,7 +170,8 @@ def cmd_view(args) -> int:
     cfg = _config_from_args(args)
     if args.width is None:
         cfg = cfg.replace(width=256, height=192, depth=min(cfg.depth, 3))
-    return run_viewer(cfg, max_cols=args.max_cols, max_frames=args.frames)
+    return run_viewer(cfg, max_cols=args.max_cols, max_frames=args.frames,
+                      log_path=args.log)
 
 
 def cmd_configs(_args) -> int:

@@ -41,7 +41,8 @@ def _read_key(timeout: float) -> str | None:
     return ch
 
 
-def run_viewer(cfg: RenderConfig, *, max_cols: int = 100, max_frames: int = 0) -> int:
+def run_viewer(cfg: RenderConfig, *, max_cols: int = 100, max_frames: int = 0,
+               log_path=None) -> int:
     import jax
 
     from raytracer_tpu.io.native import load_native
@@ -118,6 +119,10 @@ def run_viewer(cfg: RenderConfig, *, max_cols: int = 100, max_frames: int = 0) -
 
             buf = ctypes.create_string_buffer(1 << 14)
             lib.rt_timer_report(timer, buf, 1 << 14)
-            print("\n" + buf.value.decode().strip())  # main.cpp:384-392
+            report = buf.value.decode().strip()
+            print("\n" + report)  # main.cpp:384-392
+            if log_path:  # the .log files the reference README claims
+                with open(log_path, "w") as fh:
+                    fh.write(report + "\n")
             lib.rt_timer_free(timer)
     return 0

@@ -217,32 +217,37 @@ class Walls:
 
 @pytree_dataclass
 class Lights:
-    """Point lights plus one sun (directional) light.
+    """Point lights plus sun (directional) lights.
 
     The reference hard-codes one white point light at the origin
     (main.cpp:14) and #defines but never uses a sun (main.cpp:18-19); the
     README claims the sun as a Sprint-3 feature, so it is first-class here.
-    ``sun_direction`` points *toward* the sun; a zero ``sun_color`` disables
-    it (and reproduces the reference snapshot exactly).
+    ``sun_direction`` points *toward* the sun. Sun arrays are ``[S, 3]``
+    with S = 0 disabling the sun *statically* — sunless scenes (like the
+    reference snapshot) compile shading with no sun terms at all.
     """
 
     point_position: jnp.ndarray  # f32[L, 3]
     point_color: jnp.ndarray  # f32[L, 3]
-    sun_direction: jnp.ndarray  # f32[3] (toward the sun; need not be unit)
-    sun_color: jnp.ndarray  # f32[3]
+    sun_direction: jnp.ndarray  # f32[S, 3] (toward the sun; need not be unit)
+    sun_color: jnp.ndarray  # f32[S, 3]
 
     @staticmethod
     def create(
         point_position=((0.0, 0.0, 0.0),),
         point_color=((1.0, 1.0, 1.0),),
         sun_direction=(0.7, 0.4, 0.7),
-        sun_color=(0.0, 0.0, 0.0),
+        sun_color=None,
     ) -> "Lights":
+        """``sun_color=None`` (or all zeros) statically disables the sun."""
+        if sun_color is None or not np.any(np.asarray(sun_color)):
+            sun_direction = jnp.zeros((0, 3), jnp.float32)
+            sun_color = jnp.zeros((0, 3), jnp.float32)
         return Lights(
             point_position=jnp.atleast_2d(_f32(point_position)),
             point_color=jnp.atleast_2d(_f32(point_color)),
-            sun_direction=_f32(sun_direction),
-            sun_color=_f32(sun_color),
+            sun_direction=jnp.atleast_2d(_f32(sun_direction)),
+            sun_color=jnp.atleast_2d(_f32(sun_color)),
         )
 
 

@@ -64,12 +64,13 @@ def _shade_point(point: V3, normal: V3, view: V3, color: V3, amb, kd, ks, exp,
         ldir = (lp - point).normalized(eps=1e-12)
         diff, spec = _light_terms(ldir, normal, view, exp)
         intensity = intensity + lc * (diff * kd + spec * ks)
-    sun_dir = V3.from_stacked(lights.sun_direction).normalized()
-    sun_col = V3.from_stacked(lights.sun_color)
-    ones = jnp.ones_like(point.x)
-    sdir = V3(sun_dir.x * ones, sun_dir.y * ones, sun_dir.z * ones)
-    sdiff, sspec = _light_terms(sdir, normal, view, exp)
-    intensity = intensity + sun_col * (sdiff * kd + sspec * ks)
+    for si in range(lights.sun_color.shape[0]):  # [0,3] = statically sunless
+        sun_dir = V3.from_stacked(lights.sun_direction[si]).normalized()
+        sun_col = V3.from_stacked(lights.sun_color[si])
+        ones = jnp.ones_like(point.x)
+        sdir = V3(sun_dir.x * ones, sun_dir.y * ones, sun_dir.z * ones)
+        sdiff, sspec = _light_terms(sdir, normal, view, exp)
+        intensity = intensity + sun_col * (sdiff * kd + sspec * ks)
     return color * (intensity + amb)
 
 

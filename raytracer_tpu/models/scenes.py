@@ -29,6 +29,7 @@ __all__ = [
     "sprint3_scene",
     "grid_sphere_scene",
     "random_sphere_scene",
+    "logo_sphere_scene",
 ]
 
 # Reference constants (main.cpp:14-19).
@@ -61,7 +62,7 @@ def reference_demo_scene(*, sun: bool = False) -> Scene:
         point_position=[LIGHT_POS],
         point_color=[(1.0, 1.0, 1.0)],
         sun_direction=SUN_DIRECTION,
-        sun_color=SUN_COLOR if sun else (0.0, 0.0, 0.0),
+        sun_color=SUN_COLOR if sun else None,
     )
     return Scene.create(spheres=spheres, walls=walls, lights=lights, sky=Sky.create())
 
@@ -162,6 +163,71 @@ def random_sphere_scene(n: int, *, extent: float = 12.0, seed: int = 0) -> Scene
         point_position=[(0.0, 0.0, 0.0)],
         point_color=[(1.0, 1.0, 1.0)],
         sun_direction=SUN_DIRECTION,
+        sun_color=SUN_COLOR,
+    )
+    return Scene.create(spheres=spheres, walls=_floor_walls(), lights=lights)
+
+
+# 5x7 bitmap glyphs for the logo scene (1 = sphere).
+_GLYPHS = {
+    "T": ["#####", "..#..", "..#..", "..#..", "..#..", "..#..", "..#.."],
+    "U": ["#...#", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."],
+    "M": ["#...#", "##.##", "#.#.#", "#.#.#", "#...#", "#...#", "#...#"],
+}
+
+
+def logo_sphere_scene(
+    text: str = "TUM",
+    *,
+    spacing: float = 0.55,
+    radius: float = 0.26,
+    distance: float = 7.0,
+    metallic: float = 0.7,
+) -> Scene:
+    """Reflective spheres arranged as block letters — the Sprint3.png scene.
+
+    The reference's Sprint-3 screenshot (images/Sprint3.png, README.md:19)
+    shows ~100 reflective spheres forming the TUM logo over the sky-gradient
+    ground; the scene itself was swapped out of the snapshot's code
+    (SURVEY.md §4), so this reconstructs it procedurally from bitmap glyphs.
+    """
+    ys, zs = [], []
+    x_cursor = 0.0
+    for ch in text.upper():
+        glyph = _GLYPHS.get(ch)
+        if glyph is None:
+            x_cursor += 3 * spacing  # unknown char: blank space
+            continue
+        for row, line in enumerate(glyph):
+            for col, cell in enumerate(line):
+                if cell == "#":
+                    ys.append(x_cursor + col * spacing)
+                    zs.append((row - 4.5) * spacing)  # rows top -> down (z is down)
+        x_cursor += (len(glyph[0]) + 1.5) * spacing
+    n = len(ys)
+    # Negate y: the replicated direction flip (main.cpp:133) mirrors the
+    # image horizontally, so lay the glyphs out pre-mirrored to read
+    # correctly on screen.
+    ys = -np.asarray(ys, np.float32)
+    ys -= ys.mean()  # center horizontally
+    centers = np.stack(
+        [np.full(n, distance, np.float32), ys, np.asarray(zs, np.float32)],
+        axis=-1,
+    )
+    spheres = Spheres.create(
+        center=centers,
+        radius=np.full((n,), radius, np.float32),
+        material=Materials.create(
+            color=np.tile(np.asarray([[0.35, 0.55, 0.95]], np.float32), (n, 1)),
+            metallic=metallic,
+            ambient=0.25,
+        ),
+    )
+    # Sun from the camera side so the letter faces are lit (rays travel +x).
+    lights = Lights.create(
+        point_position=[(0.0, 0.0, 0.0)],
+        point_color=[(1.0, 1.0, 1.0)],
+        sun_direction=(-0.8, 0.2, -0.55),
         sun_color=SUN_COLOR,
     )
     return Scene.create(spheres=spheres, walls=_floor_walls(), lights=lights)

@@ -81,14 +81,14 @@ def shade_local(
             diff[:, None] * kd + spec[:, None] * ks
         )
 
-    # Sun: constant direction toward the sun; zero color disables (and makes
-    # these ops constant-fold away when the color is a literal zero).
-    sun_dir = math3.normalize(lights.sun_direction)
-    sdiff, sspec = _light_terms(
-        jnp.broadcast_to(sun_dir, point.shape), normal, view_dir, exp
-    )
-    intensity = intensity + lights.sun_color * (
-        sdiff[:, None] * kd + sspec[:, None] * ks
-    )
+    # Suns: constant directions; a [0, 3] sun array disables statically.
+    for si in range(lights.sun_color.shape[0]):
+        sun_dir = math3.normalize(lights.sun_direction[si])
+        sdiff, sspec = _light_terms(
+            jnp.broadcast_to(sun_dir, point.shape), normal, view_dir, exp
+        )
+        intensity = intensity + lights.sun_color[si] * (
+            sdiff[:, None] * kd + sspec[:, None] * ks
+        )
 
     return material.color * (intensity + material.ambient[:, None])

@@ -432,12 +432,13 @@ def shade_soa(rec: SoAHit, view: V3, lights: Lights) -> V3:
         diff, spec = _light_terms(ldir, rec.normal, view, exp)
         intensity = intensity + lc * (diff * kd + spec * ks)
 
-    sun_dir = V3.from_stacked(lights.sun_direction).normalized()
-    sun_col = V3.from_stacked(lights.sun_color)
-    ones = jnp.ones_like(rec.t)
-    sdir = V3(sun_dir.x * ones, sun_dir.y * ones, sun_dir.z * ones)
-    sdiff, sspec = _light_terms(sdir, rec.normal, view, exp)
-    intensity = intensity + sun_col * (sdiff * kd + sspec * ks)
+    for si in range(lights.sun_color.shape[0]):  # [0,3] = statically sunless
+        sun_dir = V3.from_stacked(lights.sun_direction[si]).normalized()
+        sun_col = V3.from_stacked(lights.sun_color[si])
+        ones = jnp.ones_like(rec.t)
+        sdir = V3(sun_dir.x * ones, sun_dir.y * ones, sun_dir.z * ones)
+        sdiff, sspec = _light_terms(sdir, rec.normal, view, exp)
+        intensity = intensity + sun_col * (sdiff * kd + sspec * ks)
 
     return rec.color * (intensity + rec.ambient)
 

@@ -122,12 +122,12 @@ def _shade(s, pos, normal, view, color, kd, ks, ka, exp):
         intensity += s["light_color"][li] * (
             diff[:, None] * kd[:, None] + spec[:, None] * ks[:, None]
         )
-    if np.any(s["sun_color"] != 0.0):
-        sdir = _normalize(s["sun_dir"][None])
+    for si in range(s["sun_color"].shape[0]):
+        sdir = _normalize(s["sun_dir"][si][None])
         diff = np.maximum(np.sum(sdir * normal, -1), 0.0)
         half = _normalize(view + sdir)
         spec = np.maximum(np.sum(half * normal, -1), 0.0) ** exp
-        intensity += s["sun_color"] * (
+        intensity += s["sun_color"][si] * (
             diff[:, None] * kd[:, None] + spec[:, None] * ks[:, None]
         )
     return color * (intensity + ka[:, None])

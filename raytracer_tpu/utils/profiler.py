@@ -64,6 +64,22 @@ class PhaseTimer:
         ]
         return "\n".join(lines)
 
+    def save(self, path) -> None:
+        """Write the report + raw per-frame samples to a ``.log`` file.
+
+        The frame-time-logging feature the reference README claims
+        (README.md:12, an ``ofstream`` per phase) but whose code is absent
+        from the snapshot (SURVEY.md, discrepancy list).
+        """
+        from pathlib import Path
+
+        p = Path(path)
+        with open(p, "w") as f:
+            f.write(self.report() + "\n\n")
+            for name, vals in sorted(self.samples.items()):
+                f.write(f"# {name} per-frame seconds\n")
+                f.writelines(f"{v:.9f}\n" for v in vals)
+
 
 def _chain_timed(step: Callable, args, iters: int) -> float:
     """Seconds/iter: warm once, chain ``iters`` calls by a ~0 scalar, sync once."""
