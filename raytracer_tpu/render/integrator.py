@@ -69,7 +69,8 @@ def trace_rays(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "depth", "tonemap", "prim_chunk", "row_chunk", "fold"
+        "width", "height", "depth", "tonemap", "prim_chunk", "row_chunk",
+        "fold", "supersample",
     ),
 )
 def render(
@@ -83,6 +84,7 @@ def render(
     prim_chunk: int = 64,
     row_chunk: int = 0,
     fold: str = "auto",
+    supersample: int = 1,
 ) -> jnp.ndarray:
     """Render the scene to an ``[H, W, 3]`` float image in [0, 1).
 
@@ -90,23 +92,33 @@ def render(
     tone-map stage the reference README promises): raygen -> fused bounce
     loop -> Reinhard, one compiled program. ``row_chunk=0`` auto-picks a
     row tiling that bounds peak memory on large frames.
+
+    ``supersample=k`` renders k*k rays per pixel on a finer grid and box-
+    filters — anti-aliasing the reference lacks (one ray per pixel, no
+    jitter, SURVEY.md row 14). Radiance is averaged pre-tonemap.
     """
-    rows = _row_chunks(width, height, row_chunk)
+    ss = supersample
+    rw, rh = width * ss, height * ss
+    rows = _row_chunks(rw, rh, row_chunk * ss if row_chunk else 0)
+    rows -= rows % ss or 0  # keep chunk boundaries on whole-pixel rows
+    rows = max(rows, ss)
     tiles = []
-    for r0 in range(0, height, rows):
+    for r0 in range(0, rh, rows):
         tile = render_tile(
             scene,
             camera,
-            width,
-            height,
+            rw,
+            rh,
             row_offset=r0,
-            rows=min(rows, height - r0),
+            rows=min(rows, rh - r0),
             depth=depth,
             prim_unroll=prim_chunk,
             fold=fold,
         )
         tiles.append(tile.stacked())
     img = tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, axis=0)
+    if ss > 1:
+        img = img.reshape(height, ss, width, ss, 3).mean(axis=(1, 3))
     return reinhard_tonemap(img) if tonemap else img
 
 

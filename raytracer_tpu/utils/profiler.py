@@ -24,7 +24,12 @@ import jax.numpy as jnp
 
 from raytracer_tpu.core.types import Camera, Scene
 
-__all__ = ["PhaseTimer", "benchmark_render", "benchmark_forward_backward"]
+__all__ = [
+    "PhaseTimer",
+    "benchmark_render",
+    "benchmark_forward_backward",
+    "benchmark_scaling",
+]
 
 
 class PhaseTimer:
@@ -173,3 +178,54 @@ def benchmark_forward_backward(
         "backward_ms": t_bwd * 1e3,
         "bwd_fwd_ratio": t_both / t_fwd if t_fwd > 0 else float("inf"),
     }
+
+
+def benchmark_scaling(
+    scene: Scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    *,
+    depth: int = 3,
+    iters: int = 5,
+    device_counts=None,
+) -> list[dict]:
+    """Rays/s of the sharded renderer at growing device counts.
+
+    The BASELINE scaling-efficiency metric (>=90% at 2 hosts): renders the
+    same frame on meshes over 1, 2, ..., N devices and reports throughput and
+    efficiency vs linear scaling from the 1-device run. Rays never
+    communicate, so efficiency loss is pure collective/launch overhead.
+    """
+    from raytracer_tpu.parallel.mesh import make_mesh
+    from raytracer_tpu.parallel.render import render_sharded
+
+    n_total = len(jax.devices())
+    if device_counts is None:
+        device_counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_total]
+
+    results = []
+    base = None
+    for n in device_counts:
+        mesh = make_mesh(px=n, prim=1, devices=jax.devices()[:n])
+
+        def step(s, c, eps, mesh=mesh):
+            img = render_sharded(
+                s, c.replace(vfov=c.vfov + eps), width, height,
+                mesh=mesh, depth=depth,
+            )
+            return img.sum() * 1e-30
+
+        dt = _chain_timed(step, (scene, camera), iters)
+        rays = width * height / dt
+        if base is None:
+            base = rays
+        results.append(
+            {
+                "devices": n,
+                "frame_ms": dt * 1e3,
+                "primary_rays_per_s": rays,
+                "scaling_efficiency": rays / (base * n),
+            }
+        )
+    return results

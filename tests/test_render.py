@@ -116,3 +116,19 @@ def test_sky_only_scene():
     img = np.asarray(integrator.render(scene, cam, 32, 32, depth=2, tonemap=False))
     want = numpy_ref.render_oracle(scene, cam, 32, 32, depth=2, tonemap=False)
     np.testing.assert_allclose(img, want, atol=1e-4)
+
+
+def test_supersampling_antialiasing():
+    """k x k supersampling keeps image content but smooths edges."""
+    scene = scenes.reference_demo_scene()
+    cam = scenes.reference_demo_camera()
+    a = np.asarray(integrator.render(scene, cam, 48, 36, depth=1, tonemap=False))
+    b = np.asarray(
+        integrator.render(scene, cam, 48, 36, depth=1, tonemap=False, supersample=2)
+    )
+    assert b.shape == a.shape
+    assert np.isfinite(b).all()
+    # Same image content overall...
+    assert abs(a.mean() - b.mean()) < 0.02
+    # ...but edge pixels change: images are not identical.
+    assert np.abs(a - b).max() > 1e-3
