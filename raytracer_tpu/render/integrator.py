@@ -16,7 +16,6 @@ import jax.numpy as jnp
 
 from raytracer_tpu.core.types import Camera, Scene
 from raytracer_tpu.core.v3 import V3
-from raytracer_tpu.ops.intersect import MISS_T, closest_hit
 from raytracer_tpu.ops.tonemap import reinhard_tonemap
 from raytracer_tpu.ops.trace import closest_hit_soa, render_tile, trace_soa
 

@@ -132,3 +132,24 @@ def test_supersampling_antialiasing():
     assert abs(a.mean() - b.mean()) < 0.02
     # ...but edge pixels change: images are not identical.
     assert np.abs(a - b).max() > 1e-3
+
+
+def test_multiple_point_lights_vs_oracle():
+    """L > 1 point lights sum per-light Blinn-Phong terms (main.cpp:102-104
+    generalized); checked against the oracle's light loop."""
+    from raytracer_tpu.core.types import Lights
+
+    base = scenes.reference_demo_scene()
+    scene = base.replace(
+        lights=Lights.create(
+            point_position=[(0.0, 0.0, 0.0), (2.0, 1.0, -1.0)],
+            point_color=[(1.0, 0.9, 0.8), (0.3, 0.4, 1.0)],
+            sun_direction=(0.7, 0.4, 0.7),
+            sun_color=(0.5, 0.4, 0.3),
+        )
+    )
+    img = np.asarray(integrator.render(scene, scenes.reference_demo_camera(),
+                                       64, 48, depth=1, tonemap=False))
+    want = numpy_ref.render_oracle(scene, scenes.reference_demo_camera(),
+                                   64, 48, depth=1, tonemap=False)
+    assert np.isclose(img, want, atol=1e-3).mean() > 0.995
