@@ -131,6 +131,56 @@ def _wall_alpha_t(tab: dict, i: int, o: V3, d: V3, tau: float):
     return alpha, t, point, n
 
 
+def _sphere_alpha_t_scalar(params, o: V3, d: V3, tau: float):
+    """Same as ``_sphere_alpha_t`` but from a dict of per-sphere scalars
+    (the chunk-scanned path; params: cx, cy, cz, r)."""
+    c = V3(params["cx"], params["cy"], params["cz"])
+    r = params["r"]
+    oc = o - c
+    b_half = d.dot(oc)
+    cc = oc.norm2() - r * r
+    disc = b_half * b_half - cc
+    pos = disc > 0.0
+    sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
+    t = -b_half - jnp.where(pos, sq, 0.0)
+    alpha = _sigmoid(disc / (tau * 2.0 * jnp.maximum(r, 1e-6)))
+    alpha = alpha * _sigmoid(t / jnp.maximum(tau, 1e-6))
+    point = o + d * t
+    n = (point - c).normalized(eps=1e-12)
+    return alpha, t, point, n
+
+
+def _sphere_param_chunks(spheres, unroll: int):
+    """Stack per-sphere scalars into [K, unroll] chunks (padded never-hit)."""
+    n = len(spheres)
+    k = -(-n // unroll)
+    pad = k * unroll - n
+
+    def prep(x, fill):
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+        return x.reshape(k, unroll)
+
+    c = spheres.center
+    mat = spheres.material
+    return {
+        "cx": prep(c[:, 0], 1e8), "cy": prep(c[:, 1], 1e8),
+        "cz": prep(c[:, 2], 1e8), "r": prep(spheres.radius, 1e-3),
+        "colr": prep(mat.color[:, 0], 0.0), "colg": prep(mat.color[:, 1], 0.0),
+        "colb": prep(mat.color[:, 2], 0.0), "amb": prep(mat.ambient, 0.0),
+        "kd": prep(mat.diffuse, 0.0), "ks": prep(mat.specular, 0.0),
+        "exp": prep(mat.specular_exponent, 1.0),
+    }
+
+
+# Above this many spheres the python-unrolled prim loop is chunk-scanned
+# (``lax.scan`` with _SOFT_UNROLL spheres unrolled per step) to bound
+# compile time; 64+-sphere fit configs otherwise produce HLOs the remote
+# compiler chews on for tens of minutes.
+_SOFT_UNROLL = 8
+_SOFT_UNROLL_MAX = 16
+
+
 def trace_soft(
     scene: Scene,
     o: V3,
@@ -145,48 +195,109 @@ def trace_soft(
     view = -d
     lights = scene.lights
     walls = scene.walls
+    spheres = scene.spheres
+    n_s = len(spheres)
     tab = _wall_tables(walls) if len(walls) else None
-
-    def prims(oo, dd):
-        for i in range(len(scene.spheres)):
-            yield "sphere", i, _sphere_alpha_t(scene, i, oo, dd, tau)
-        for i in range(len(walls)):
-            yield "wall", i, _wall_alpha_t(tab, i, oo, dd, tau)
-
-    # Pass 1 (stop-grad): hard front depth t_ref per ray — the softmax anchor.
+    scan_spheres = n_s > _SOFT_UNROLL_MAX
     sg = jax.lax.stop_gradient
-    o_sg = jax.tree_util.tree_map(sg, o)
-    d_sg = jax.tree_util.tree_map(sg, d)
-    t_ref = jnp.full(shape, _FAR)
-    for _, _, (alpha, t, _, _) in prims(o_sg, d_sg):
-        t_ref = jnp.minimum(t_ref, jnp.where(alpha > _ALPHA_REF, t, _FAR))
-    t_ref = sg(t_ref)
 
-    # Pass 2: streaming depth-softmax of shaded colors + union coverage.
-    m = jnp.full(shape, -jnp.inf)  # running max logit
-    s = jnp.zeros(shape)  # running exp-sum
-    acc = V3.fill(shape, 0.0)  # running weighted color
-    log_transmit = jnp.zeros(shape)  # sum log(1 - alpha)
+    def fold_ref(t_ref, alpha, t):
+        return jnp.minimum(t_ref, jnp.where(alpha > _ALPHA_REF, t, _FAR))
 
-    for kind, i, (alpha, t, point, n) in prims(o, d):
-        mat = scene.spheres.material if kind == "sphere" else walls.material
-        col = _shade_point(
-            point, n, view, V3.from_stacked(mat.color[i]), mat.ambient[i],
-            mat.diffuse[i], mat.specular[i], mat.specular_exponent[i], lights,
-        )
+    def fold_in(carry, alpha, t, col, t_ref):
+        m, s, acc, log_transmit = carry
         logit = jnp.log(alpha + _LOG_EPS) - jnp.maximum(t - t_ref, 0.0) / tau_z
         m_new = jnp.maximum(m, logit)
         scale = jnp.where(m > -jnp.inf, jnp.exp(m - m_new), 0.0)
         e = jnp.exp(logit - m_new)
-        s = s * scale + e
-        acc = acc * scale + col * e
-        m = m_new
-        log_transmit = log_transmit + jnp.log1p(-jnp.minimum(alpha, 1.0 - 1e-7))
+        return (
+            m_new,
+            s * scale + e,
+            acc * scale + col * e,
+            log_transmit + jnp.log1p(-jnp.minimum(alpha, 1.0 - 1e-7)),
+        )
+
+    o_sg = jax.tree_util.tree_map(sg, o)
+    d_sg = jax.tree_util.tree_map(sg, d)
+
+    def sphere_shade(params, oo, dd):
+        alpha, t, point, n = _sphere_alpha_t_scalar(params, oo, dd, tau)
+        col = _shade_point(
+            point, n, -dd, V3(params["colr"], params["colg"], params["colb"]),
+            params["amb"], params["kd"], params["ks"], params["exp"], lights,
+        )
+        return alpha, t, col
+
+    # Pass 1 (stop-grad): hard front depth t_ref per ray — the softmax anchor.
+    t_ref = (o.x + d.x) * 0.0 + _FAR  # vma-stable carry init under shard_map
+    t_ref = sg(t_ref)
+    if scan_spheres:
+        chunks = jax.tree_util.tree_map(sg, _sphere_param_chunks(spheres, _SOFT_UNROLL))
+
+        def ref_body(t_ref, chunk):
+            for u in range(_SOFT_UNROLL):
+                p = {key: val[u] for key, val in chunk.items()}
+                alpha, t, _, _ = _sphere_alpha_t_scalar(p, o_sg, d_sg, tau)
+                t_ref = fold_ref(t_ref, alpha, t)
+            return t_ref, None
+
+        t_ref, _ = jax.lax.scan(ref_body, t_ref, chunks)
+    else:
+        for i in range(n_s):
+            alpha, t, _, _ = _sphere_alpha_t(
+                jax.tree_util.tree_map(sg, scene), i, o_sg, d_sg, tau
+            )
+            t_ref = fold_ref(t_ref, alpha, t)
+    for i in range(len(walls)):
+        alpha, t, _, _ = _wall_alpha_t(
+            jax.tree_util.tree_map(sg, tab), i, o_sg, d_sg, tau
+        )
+        t_ref = fold_ref(t_ref, alpha, t)
+    t_ref = sg(t_ref)
+
+    # Pass 2: streaming depth-softmax of shaded colors + union coverage.
+    zero = (o.x + d.x) * 0.0
+    carry = (
+        zero - jnp.inf,  # running max logit
+        zero,  # running exp-sum
+        V3(zero, zero, zero),  # running weighted color
+        zero,  # sum log(1 - alpha)
+    )
+    if scan_spheres:
+        chunks = _sphere_param_chunks(spheres, _SOFT_UNROLL)
+
+        def body(carry, chunk):
+            for u in range(_SOFT_UNROLL):
+                p = {key: val[u] for key, val in chunk.items()}
+                alpha, t, col = sphere_shade(p, o, d)
+                carry = fold_in(carry, alpha, t, col, t_ref)
+            return carry, None
+
+        carry, _ = jax.lax.scan(body, carry, chunks)
+    else:
+        for i in range(n_s):
+            alpha, t, point, n = _sphere_alpha_t(scene, i, o, d, tau)
+            mat = spheres.material
+            col = _shade_point(
+                point, n, view, V3.from_stacked(mat.color[i]), mat.ambient[i],
+                mat.diffuse[i], mat.specular[i], mat.specular_exponent[i],
+                lights,
+            )
+            carry = fold_in(carry, alpha, t, col, t_ref)
+    for i in range(len(walls)):
+        alpha, t, point, n = _wall_alpha_t(tab, i, o, d, tau)
+        mat = walls.material
+        col = _shade_point(
+            point, n, view, V3.from_stacked(mat.color[i]), mat.ambient[i],
+            mat.diffuse[i], mat.specular[i], mat.specular_exponent[i], lights,
+        )
+        carry = fold_in(carry, alpha, t, col, t_ref)
 
     sky = background_soa(d, scene.sky)
-    if len(scene.spheres) + len(walls) == 0:
+    if n_s + len(walls) == 0:
         return sky
 
+    m, s, acc, log_transmit = carry
     coverage = 1.0 - jnp.exp(log_transmit)  # union of all alphas
     fg = acc * (1.0 / jnp.maximum(s, 1e-30))
     return fg * coverage + sky * (1.0 - coverage)
