@@ -24,6 +24,7 @@ __all__ = [
     "Materials",
     "Spheres",
     "Walls",
+    "Boxes",
     "Lights",
     "Sky",
     "Scene",
@@ -216,6 +217,42 @@ class Walls:
 
 
 @pytree_dataclass
+class Boxes:
+    """Stacked axis-aligned box primitives.
+
+    The reference's Sprint-1 ``Box`` class (README.md:28-37) is gone from the
+    snapshot; this is its TPU-native successor: min/max corner arrays with a
+    branchless slab intersection test. Outside hits only — the entry distance
+    ``t_near`` is returned, matching the spheres' nearer-root convention.
+    """
+
+    minimum: jnp.ndarray  # f32[N, 3]
+    maximum: jnp.ndarray  # f32[N, 3]
+    material: Materials  # fields of length N
+
+    @staticmethod
+    def create(minimum, maximum, material: Materials) -> "Boxes":
+        minimum = jnp.atleast_2d(_f32(minimum))
+        maximum = jnp.atleast_2d(_f32(maximum))
+        return Boxes(
+            minimum=jnp.minimum(minimum, maximum),
+            maximum=jnp.maximum(minimum, maximum),
+            material=material,
+        )
+
+    def __len__(self) -> int:
+        return self.minimum.shape[0]
+
+    @staticmethod
+    def empty() -> "Boxes":
+        return Boxes(
+            minimum=jnp.zeros((0, 3), jnp.float32),
+            maximum=jnp.zeros((0, 3), jnp.float32),
+            material=Materials.create(jnp.zeros((0, 3), jnp.float32)),
+        )
+
+
+@pytree_dataclass
 class Lights:
     """Point lights plus sun (directional) lights.
 
@@ -285,6 +322,7 @@ class Scene:
 
     spheres: Spheres
     walls: Walls
+    boxes: Boxes
     lights: Lights
     sky: Sky
 
@@ -292,19 +330,21 @@ class Scene:
     def create(
         spheres: Spheres | None = None,
         walls: Walls | None = None,
+        boxes: "Boxes | None" = None,
         lights: Lights | None = None,
         sky: Sky | None = None,
     ) -> "Scene":
         return Scene(
             spheres=spheres if spheres is not None else Spheres.empty(),
             walls=walls if walls is not None else Walls.empty(),
+            boxes=boxes if boxes is not None else Boxes.empty(),
             lights=lights if lights is not None else Lights.create(),
             sky=sky if sky is not None else Sky.create(),
         )
 
     @property
     def num_primitives(self) -> int:
-        return len(self.spheres) + len(self.walls)
+        return len(self.spheres) + len(self.walls) + len(self.boxes)
 
 
 @pytree_dataclass

@@ -181,6 +181,36 @@ _SOFT_UNROLL = 8
 _SOFT_UNROLL_MAX = 16
 
 
+def _box_alpha_t(scene: Scene, i: int, o: V3, d: V3, tau: float):
+    """(coverage, hit distance, hit point, normal) for axis-aligned box ``i``.
+
+    Coverage is a sigmoid in the slab overlap ``t_far - t_near`` (the hard
+    test's decision quantity), times a front-ness cut.
+    """
+    from raytracer_tpu.ops.trace import _safe_inv, box_winner_normal
+
+    inv = _safe_inv(d)
+    mn = V3.from_stacked(scene.boxes.minimum[i])
+    mx = V3.from_stacked(scene.boxes.maximum[i])
+    t1x, t2x = (mn.x - o.x) * inv.x, (mx.x - o.x) * inv.x
+    t1y, t2y = (mn.y - o.y) * inv.y, (mx.y - o.y) * inv.y
+    t1z, t2z = (mn.z - o.z) * inv.z, (mx.z - o.z) * inv.z
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    alpha = _sigmoid((tf - tn) / jnp.maximum(tau, 1e-6))
+    alpha = alpha * _sigmoid(tn / jnp.maximum(tau, 1e-6))
+    point = o + d * tn
+    idx = jnp.full(tn.shape, i, jnp.int32)
+    n = box_winner_normal(scene.boxes, idx, o, d)
+    return alpha, tn, point, n
+
+
 def trace_soft(
     scene: Scene,
     o: V3,
@@ -253,6 +283,11 @@ def trace_soft(
             jax.tree_util.tree_map(sg, tab), i, o_sg, d_sg, tau
         )
         t_ref = fold_ref(t_ref, alpha, t)
+    for i in range(len(scene.boxes)):
+        alpha, t, _, _ = _box_alpha_t(
+            jax.tree_util.tree_map(sg, scene), i, o_sg, d_sg, tau
+        )
+        t_ref = fold_ref(t_ref, alpha, t)
     t_ref = sg(t_ref)
 
     # Pass 2: streaming depth-softmax of shaded colors + union coverage.
@@ -292,9 +327,17 @@ def trace_soft(
             mat.diffuse[i], mat.specular[i], mat.specular_exponent[i], lights,
         )
         carry = fold_in(carry, alpha, t, col, t_ref)
+    for i in range(len(scene.boxes)):
+        alpha, t, point, n = _box_alpha_t(scene, i, o, d, tau)
+        mat = scene.boxes.material
+        col = _shade_point(
+            point, n, view, V3.from_stacked(mat.color[i]), mat.ambient[i],
+            mat.diffuse[i], mat.specular[i], mat.specular_exponent[i], lights,
+        )
+        carry = fold_in(carry, alpha, t, col, t_ref)
 
     sky = background_soa(d, scene.sky)
-    if n_s + len(walls) == 0:
+    if n_s + len(walls) + len(scene.boxes) == 0:
         return sky
 
     m, s, acc, log_transmit = carry

@@ -30,6 +30,7 @@ __all__ = [
     "grid_sphere_scene",
     "random_sphere_scene",
     "logo_sphere_scene",
+    "mixed_primitive_scene",
 ]
 
 # Reference constants (main.cpp:14-19).
@@ -231,3 +232,36 @@ def logo_sphere_scene(
         sun_color=SUN_COLOR,
     )
     return Scene.create(spheres=spheres, walls=_floor_walls(), lights=lights)
+
+
+def mixed_primitive_scene(*, sun: bool = True) -> Scene:
+    """All three primitive families in one frame: spheres, walls, and boxes.
+
+    Used by tests and as a showcase of the box primitive (the reference's
+    Sprint-1 ``Box``, README.md:28-37, rebuilt as axis-aligned slabs).
+    """
+    from raytracer_tpu.core.types import Boxes
+
+    spheres = Spheres.create(
+        center=[[4.0, -1.2, -0.2], [5.0, 1.5, 0.3]],
+        radius=[0.6, 0.8],
+        material=Materials.create(
+            color=[[0.9, 0.3, 0.2], [0.2, 0.8, 0.4]], metallic=0.5
+        ),
+    )
+    boxes = Boxes.create(
+        minimum=[[3.2, 0.1, -0.9], [5.5, -2.6, -0.4]],
+        maximum=[[4.2, 1.1, 0.1], [6.6, -1.4, 0.8]],
+        material=Materials.create(
+            color=[[0.95, 0.8, 0.25], [0.4, 0.5, 0.95]], metallic=0.35
+        ),
+    )
+    lights = Lights.create(
+        point_position=[(0.0, 0.0, 0.0)],
+        point_color=[(1.0, 1.0, 1.0)],
+        sun_direction=(-0.8, 0.2, -0.55),
+        sun_color=SUN_COLOR if sun else None,
+    )
+    return Scene.create(
+        spheres=spheres, walls=_floor_walls(), boxes=boxes, lights=lights
+    )

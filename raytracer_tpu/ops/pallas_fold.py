@@ -46,12 +46,12 @@ def pallas_available() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def _kernel(n_s: int, n_w: int, wall_base: int):
+def _kernel(n_s: int, n_w: int, n_b: int, wall_base: int, box_base: int):
     """Build the fold kernel for a (sphere-count, wall-count) configuration.
 
-    ``n_s``/``n_w`` are the padded table sizes (multiples of _UNROLL; pad
-    entries are guaranteed misses); ``wall_base`` is the REAL sphere count,
-    so wall winners carry the global index ``wall_base + n`` that
+    ``n_s``/``n_w``/``n_b`` are the padded table sizes (multiples of _UNROLL;
+    pad entries are guaranteed misses); ``wall_base``/``box_base`` are the
+    REAL primitive-count offsets so winners carry the global indices
     ``gather_hit`` expects.
     """
 
@@ -59,6 +59,7 @@ def _kernel(n_s: int, n_w: int, wall_base: int):
         # scalar-prefetch primitive tables (SMEM)
         cx, cy, cz, cr2,  # spheres: center xyz, |c|^2 - r^2          [n_s]
         nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz, px, py, pz, ln, wd,  # walls
+        bmnx, bmny, bmnz, bmxx, bmxy, bmxz,  # boxes: min/max corners
         # ray tile (VMEM)
         ox, oy, oz, dx, dy, dz,
         # outputs (VMEM)
@@ -127,6 +128,41 @@ def _kernel(n_s: int, n_w: int, wall_base: int):
                 0, n_w // _UNROLL, wall_chunk, (best_t, best_i)
             )
 
+        if n_b:
+            # Safe reciprocal direction, hoisted (see ops/trace.py _safe_inv).
+            def srecip(c):
+                ok = jnp.abs(c) > 1e-12
+                return jnp.where(
+                    ok, 1.0 / jnp.where(ok, c, 1.0), jnp.sign(c) * 2e30
+                )
+
+            ivx, ivy, ivz = srecip(vdx), srecip(vdy), srecip(vdz)
+
+            def box_one(n, carry):
+                bt, bi = carry
+                t1x, t2x = (bmnx[n] - vox) * ivx, (bmxx[n] - vox) * ivx
+                t1y, t2y = (bmny[n] - voy) * ivy, (bmxy[n] - voy) * ivy
+                t1z, t2z = (bmnz[n] - voz) * ivz, (bmxz[n] - voz) * ivz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                    jnp.minimum(t1z, t2z),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                    jnp.maximum(t1z, t2z),
+                )
+                win = (tn <= tf) & (tn > 0.0) & (tn < bt)
+                return jnp.where(win, tn, bt), jnp.where(win, box_base + n, bi)
+
+            def box_chunk(k, carry):
+                for u in range(_UNROLL):
+                    carry = box_one(k * _UNROLL + u, carry)
+                return carry
+
+            best_t, best_i = jax.lax.fori_loop(
+                0, n_b // _UNROLL, box_chunk, (best_t, best_i)
+            )
+
         bt_ref[:] = best_t
         bi_ref[:] = best_i
 
@@ -134,9 +170,11 @@ def _kernel(n_s: int, n_w: int, wall_base: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_s", "n_w", "wall_base", "interpret")
+    jax.jit,
+    static_argnames=("n_s", "n_w", "n_b", "wall_base", "box_base", "interpret"),
 )
-def _fold_flat(tables, rays, *, n_s: int, n_w: int, wall_base: int, interpret: bool):
+def _fold_flat(tables, rays, *, n_s: int, n_w: int, n_b: int, wall_base: int,
+               box_base: int, interpret: bool):
     """Run the kernel over a flat padded ray batch ``[M, 128]`` x 6."""
     m = rays[0].shape[0]
     grid = m // _TILE_ROWS
@@ -149,13 +187,13 @@ def _fold_flat(tables, rays, *, n_s: int, n_w: int, wall_base: int, interpret: b
         (_TILE_ROWS, _LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=19,
+        num_scalar_prefetch=25,
         grid=(grid,),
         in_specs=[ray_spec] * 6,
         out_specs=(out_spec, out_spec),
     )
     return pl.pallas_call(
-        _kernel(n_s, n_w, wall_base),
+        _kernel(n_s, n_w, n_b, wall_base, box_base),
         out_shape=(
             jax.ShapeDtypeStruct((m, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((m, _LANES), jnp.int32),
@@ -199,30 +237,43 @@ def fold_closest_pallas(
         - s.radius * s.radius
     )
     w = _wall_tables(scene.walls)
-    tables = (
-        s.center[:, 0], s.center[:, 1], s.center[:, 2], cr2,
+    b = scene.boxes
+    sphere_tables = (s.center[:, 0], s.center[:, 1], s.center[:, 2], cr2)
+    wall_tables = (
         w["nx"], w["ny"], w["nz"], w["dplane"],
         w["rx"], w["ry"], w["rz"], w["ux"], w["uy"], w["uz"],
         w["px"], w["py"], w["pz"], w["length"], w["width"],
     )
+    box_tables = (
+        b.minimum[:, 0], b.minimum[:, 1], b.minimum[:, 2],
+        b.maximum[:, 0], b.maximum[:, 1], b.maximum[:, 2],
+    )
+
     # Pad tables to a multiple of the manual unroll with guaranteed-miss
     # entries: spheres with |c|^2 - r^2 = +1e30 give disc < 0 for any real
     # ray; walls with zero normal (denominator 0) and negative extents never
-    # pass the bounds test. Empty tables become one dead entry (loop bound 0).
+    # pass the bounds test; degenerate boxes at +1e8 reject on t_near > 0 /
+    # slab ordering. Empty tables become one dead entry (loop bound 0).
     def pad_table(t, size, fill):
         n = t.shape[0]
         if n == size:
             return t
         return jnp.concatenate([t, jnp.full((size - n,), fill, jnp.float32)])
 
-    n_s, n_w = len(s), len(scene.walls)
+    n_s, n_w, n_b = len(s), len(scene.walls), len(scene.boxes)
     n_s_pad = max(_UNROLL, -(-n_s // _UNROLL) * _UNROLL)
     n_w_pad = max(_UNROLL, -(-n_w // _UNROLL) * _UNROLL)
-    tables = tuple(
-        pad_table(t, n_s_pad, 1e30 if i == 3 else 0.0)
-        if i < 4
-        else pad_table(t, n_w_pad, -1.0 if i >= 17 else 0.0)
-        for i, t in enumerate(tables)
+    n_b_pad = max(_UNROLL, -(-n_b // _UNROLL) * _UNROLL)
+    tables = (
+        tuple(
+            pad_table(t, n_s_pad, 1e30 if i == 3 else 0.0)
+            for i, t in enumerate(sphere_tables)
+        )
+        + tuple(
+            pad_table(t, n_w_pad, -1.0 if i >= 13 else 0.0)
+            for i, t in enumerate(wall_tables)
+        )
+        + tuple(pad_table(t, n_b_pad, 1e8) for t in box_tables)
     )
 
     bt, bi = _fold_flat(
@@ -230,7 +281,9 @@ def fold_closest_pallas(
         rays,
         n_s=n_s_pad if n_s else 0,
         n_w=n_w_pad if n_w else 0,
+        n_b=n_b_pad if n_b else 0,
         wall_base=n_s,
+        box_base=n_s + n_w,
         interpret=interpret,
     )
     bt = bt.reshape(-1)[:p].reshape(shape)

@@ -193,6 +193,98 @@ def _fold_spheres(spheres, o: V3, d: V3, best, base: int, unroll: int):
     return best
 
 
+def _box_update(o: V3, d: V3, inv: V3, best, i, mnx, mny, mnz, mxx, mxy, mxz):
+    """Fold one axis-aligned box into the carry (branchless slab test).
+
+    ``inv`` is the precomputed safe reciprocal direction (hoisted out of the
+    primitive loop). Entry distance t_near accepted iff t_near <= t_far and
+    t_near > 0 — outside hits only, like the spheres' nearer root.
+    """
+    best_t, best_i = best
+    t1x, t2x = (mnx - o.x) * inv.x, (mxx - o.x) * inv.x
+    t1y, t2y = (mny - o.y) * inv.y, (mxy - o.y) * inv.y
+    t1z, t2z = (mnz - o.z) * inv.z, (mxz - o.z) * inv.z
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    win = (tn <= tf) & (tn > 0.0) & (tn < best_t)
+    return jnp.where(win, tn, best_t), jnp.where(win, i, best_i)
+
+
+def _safe_inv(d: V3) -> V3:
+    """1/d with axis-parallel components clamped to a huge finite value.
+
+    Keeps the slab test's min/max algebra NaN-free (inf - inf never forms)
+    while preserving semantics: a 1e30-scaled slab distance loses against
+    any real hit and fails the t_near <= t_far test when outside the slab.
+    """
+    def inv(c):
+        ok = jnp.abs(c) > 1e-12
+        return jnp.where(ok, 1.0 / jnp.where(ok, c, 1.0), jnp.sign(c) * 1e30 + 1e30)
+
+    return V3(inv(d.x), inv(d.y), inv(d.z))
+
+
+def _fold_boxes(boxes, o: V3, d: V3, best, base: int, unroll: int):
+    """All boxes into the carry (unrolled; chunk-scanned above ``unroll``)."""
+    n = len(boxes)
+    inv = _safe_inv(d)
+    mn, mx = boxes.minimum, boxes.maximum
+    cols = (mn[:, 0], mn[:, 1], mn[:, 2], mx[:, 0], mx[:, 1], mx[:, 2])
+    if n <= unroll:
+        for k in range(n):
+            best = _box_update(
+                o, d, inv, best, jnp.int32(base + k), *[c[k] for c in cols]
+            )
+        return best
+
+    k_chunks = -(-n // unroll)
+    pad = k_chunks * unroll - n
+
+    def pad_to(x):
+        # Degenerate boxes at +1e8 (min == max far away): t_near > t_far
+        # never holds for real rays after the t_near > 0 test.
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), 1e8, x.dtype)])
+        return x.reshape(k_chunks, unroll)
+
+    xs = tuple(pad_to(c) for c in cols) + (
+        base + jnp.arange(k_chunks, dtype=jnp.int32) * unroll,
+    )
+
+    def body(carry, x):
+        *cs, b0 = x
+        for k in range(unroll):
+            carry = _box_update(o, d, inv, carry, b0 + k, *[c[k] for c in cs])
+        return carry, None
+
+    best, _ = jax.lax.scan(body, best, xs)
+    return best
+
+
+def box_winner_normal(boxes, bi: jnp.ndarray, o: V3, d: V3) -> V3:
+    """Outward face normal of the entry face for per-ray box winners."""
+    inv = _safe_inv(d)
+    mnx, mny, mnz = [_take(boxes.minimum[:, k], bi) for k in range(3)]
+    mxx, mxy, mxz = [_take(boxes.maximum[:, k], bi) for k in range(3)]
+    tx = (jnp.where(d.x >= 0, mnx, mxx) - o.x) * inv.x
+    ty = (jnp.where(d.y >= 0, mny, mxy) - o.y) * inv.y
+    tz = (jnp.where(d.z >= 0, mnz, mxz) - o.z) * inv.z
+    is_x = (tx >= ty) & (tx >= tz)
+    is_y = jnp.logical_not(is_x) & (ty >= tz)
+    is_z = jnp.logical_not(is_x) & jnp.logical_not(is_y)
+    return V3(
+        jnp.where(is_x, -jnp.sign(d.x), 0.0),
+        jnp.where(is_y, -jnp.sign(d.y), 0.0),
+        jnp.where(is_z, -jnp.sign(d.z), 0.0),
+    )
+
+
 def _wall_tables(walls) -> dict:
     """Per-wall scalars for the fold (basis per scene.cpp:18-19)."""
     n = V3.from_stacked(walls.normal)
@@ -240,6 +332,8 @@ def fold_closest_jnp(
         best = _fold_spheres(scene.spheres, o, d, best, 0, prim_unroll)
     if n_w:
         best = _fold_walls(scene.walls, o, d, best, n_s)
+    if len(scene.boxes):
+        best = _fold_boxes(scene.boxes, o, d, best, n_s + n_w, prim_unroll)
     return best
 
 
@@ -254,7 +348,7 @@ def _winner_t(
     O(rays x prims) fold. Also what makes a gradient-free Pallas fold
     drop-in: the backward pass never needs the fold's VJP.
     """
-    n_s, n_w = len(scene.spheres), len(scene.walls)
+    n_s, n_w, n_b = len(scene.spheres), len(scene.walls), len(scene.boxes)
     hit = best_t < MISS_T
 
     t = best_t  # miss lanes: constant MISS_T (stop-gradded by caller)
@@ -278,8 +372,22 @@ def _winner_t(
         denom = d.dot(n)
         ok = jnp.abs(denom) > 1e-12
         t_w = (p - o).dot(n) / jnp.where(ok, denom, 1.0)
-        is_wall = hit & (best_i >= n_s)
+        is_wall = hit & (best_i >= n_s) & (best_i < n_s + n_w)
         t = jnp.where(is_wall, jnp.where(ok, t_w, best_t), t)
+    if n_b:
+        bi = jnp.clip(best_i - n_s - n_w, 0, n_b - 1)
+        inv = _safe_inv(d)
+        mn = V3.from_stacked(scene.boxes.minimum).take(bi)
+        mx = V3.from_stacked(scene.boxes.maximum).take(bi)
+        t_b = jnp.maximum(
+            jnp.maximum(
+                jnp.minimum((mn.x - o.x) * inv.x, (mx.x - o.x) * inv.x),
+                jnp.minimum((mn.y - o.y) * inv.y, (mx.y - o.y) * inv.y),
+            ),
+            jnp.minimum((mn.z - o.z) * inv.z, (mx.z - o.z) * inv.z),
+        )
+        is_box = hit & (best_i >= n_s + n_w)
+        t = jnp.where(is_box, t_b, t)
     return t
 
 
@@ -354,12 +462,12 @@ def gather_hit(
     scene: Scene, o: V3, d: V3, best_t: jnp.ndarray, best_i: jnp.ndarray
 ) -> SoAHit:
     """Build the full SoAHit record from a (min-t, argmin-index) fold result."""
-    n_s, n_w = len(scene.spheres), len(scene.walls)
+    n_s, n_w, n_b = len(scene.spheres), len(scene.walls), len(scene.boxes)
     hit = best_t < MISS_T
     t_safe = jnp.where(hit, best_t, 1.0)
     point = o + d * t_safe
 
-    if n_s + n_w == 0:  # empty scene: every ray misses into the background
+    if n_s + n_w + n_b == 0:  # empty scene: every ray misses into the background
         zeros = jnp.zeros_like(best_t)
         unit_z = V3(zeros, zeros, zeros + 1.0)
         return SoAHit(
@@ -370,36 +478,43 @@ def gather_hit(
         )
 
     smat, wmat = scene.spheres.material, scene.walls.material
+    bmat = scene.boxes.material
 
-    def cat(a, b):
-        if n_s and n_w:
-            return jnp.concatenate([a, b])
-        return a if n_s else b
+    def cat(a, b, c):
+        parts = [p for p, n in ((a, n_s), (b, n_w), (c, n_b)) if n]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
-    idx = jnp.clip(best_i, 0, n_s + n_w - 1)
-    color = _take3(cat(smat.color, wmat.color), idx)
-    ambient = _take(cat(smat.ambient, wmat.ambient), idx)
-    metallic = _take(cat(smat.metallic, wmat.metallic), idx)
-    diffuse = _take(cat(smat.diffuse, wmat.diffuse), idx)
-    specular = _take(cat(smat.specular, wmat.specular), idx)
-    exponent = _take(cat(smat.specular_exponent, wmat.specular_exponent), idx)
+    idx = jnp.clip(best_i, 0, n_s + n_w + n_b - 1)
+    color = _take3(cat(smat.color, wmat.color, bmat.color), idx)
+    ambient = _take(cat(smat.ambient, wmat.ambient, bmat.ambient), idx)
+    metallic = _take(cat(smat.metallic, wmat.metallic, bmat.metallic), idx)
+    diffuse = _take(cat(smat.diffuse, wmat.diffuse, bmat.diffuse), idx)
+    specular = _take(cat(smat.specular, wmat.specular, bmat.specular), idx)
+    exponent = _take(
+        cat(smat.specular_exponent, wmat.specular_exponent,
+            bmat.specular_exponent),
+        idx,
+    )
 
+    normal = None
     if n_s:
         si = jnp.clip(best_i, 0, n_s - 1)
         center = _take3(scene.spheres.center, si)
         radius = _take(scene.spheres.radius, si)
-        sph_n = (point - center) * (1.0 / jnp.maximum(radius, 1e-12))
+        normal = (point - center) * (1.0 / jnp.maximum(radius, 1e-12))
     if n_w:
         wi = jnp.clip(best_i - n_s, 0, n_w - 1)
         wall_n = _take3(scene.walls.normal, wi)
-
-    if n_s and n_w:
-        normal = V3.where(best_i < n_s, sph_n, wall_n)
-    elif n_s:
-        normal = sph_n
-    elif n_w:
-        normal = wall_n
-    else:
+        normal = wall_n if normal is None else V3.where(best_i < n_s, normal, wall_n)
+    if n_b:
+        bi = jnp.clip(best_i - n_s - n_w, 0, n_b - 1)
+        box_n = box_winner_normal(scene.boxes, bi, o, d)
+        normal = (
+            box_n
+            if normal is None
+            else V3.where(best_i < n_s + n_w, normal, box_n)
+        )
+    if normal is None:
         normal = V3.fill(best_t.shape, 0.0)
 
     # Miss lanes: force a benign unit normal — their garbage normal would

@@ -47,6 +47,14 @@ def scene_to_numpy(scene, dtype=np.float64) -> dict:
         "wall_diffuse": scene.walls.material.diffuse,
         "wall_specular": scene.walls.material.specular,
         "wall_exponent": scene.walls.material.specular_exponent,
+        "box_min": scene.boxes.minimum,
+        "box_max": scene.boxes.maximum,
+        "box_color": scene.boxes.material.color,
+        "box_ambient": scene.boxes.material.ambient,
+        "box_metallic": scene.boxes.material.metallic,
+        "box_diffuse": scene.boxes.material.diffuse,
+        "box_specular": scene.boxes.material.specular,
+        "box_exponent": scene.boxes.material.specular_exponent,
         "light_pos": scene.lights.point_position,
         "light_color": scene.lights.point_color,
         "sun_dir": scene.lights.sun_direction,
@@ -103,6 +111,37 @@ def _wall_ts(s, o, d):
     return np.where(valid, np.where(np.isfinite(t), t, MISS_T), MISS_T)
 
 
+def _box_ts(s, o, d):
+    """Axis-aligned box slab test, [P, NB] (miss = MISS_T). Outside hits
+    only: the entry distance t_near, accepted iff t_near <= t_far, t_near > 0."""
+    nb = s["box_min"].shape[0]
+    if nb == 0:
+        return np.full((o.shape[0], 0), MISS_T, o.dtype)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / d  # +-inf on axis-parallel rays: correct slab semantics
+        t1 = (s["box_min"][None] - o[:, None, :]) * inv[:, None, :]
+        t2 = (s["box_max"][None] - o[:, None, :]) * inv[:, None, :]
+    tn = np.nanmax(np.minimum(t1, t2), axis=-1)
+    tf = np.nanmin(np.maximum(t1, t2), axis=-1)
+    valid = (tn <= tf) & (tn > 0.0)
+    return np.where(valid, tn, MISS_T)
+
+
+def _box_normal(s, bi, o, d, t):
+    """Outward face normal at the entry point of box ``bi`` per ray."""
+    mn, mx = s["box_min"][bi], s["box_max"][bi]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / d
+        near = np.where(d >= 0.0, mn, mx)
+        t_axis = (near - o) * inv
+    t_axis = np.where(np.isfinite(t_axis), t_axis, -np.inf)
+    axis = np.argmax(t_axis, axis=-1)
+    n = np.zeros_like(o)
+    rows = np.arange(o.shape[0])
+    n[rows, axis] = -np.sign(d[rows, axis])
+    return n
+
+
 def _background(s, d):
     """out_color (main.cpp:28-37)."""
     z = d[..., 2]
@@ -140,7 +179,10 @@ def trace_oracle(s: dict, o: np.ndarray, d: np.ndarray, remaining: int) -> np.nd
     reference's ``remaining_iterations``.
     """
     n_s = s["sph_radius"].shape[0]
-    ts = np.concatenate([_sphere_ts(s, o, d), _wall_ts(s, o, d)], axis=1)
+    n_w = s["wall_length"].shape[0]
+    ts = np.concatenate(
+        [_sphere_ts(s, o, d), _wall_ts(s, o, d), _box_ts(s, o, d)], axis=1
+    )
     if ts.shape[1] == 0:
         return _background(s, d)
     idx = np.argmin(ts, axis=1)
@@ -151,30 +193,39 @@ def trace_oracle(s: dict, o: np.ndarray, d: np.ndarray, remaining: int) -> np.nd
 
     t_safe = np.where(hit, t, 1.0)
     pos = o + d * t_safe[:, None]
+    n_b = s["box_min"].shape[0]
     is_sphere = idx < n_s
+    is_box = idx >= n_s + n_w
     si = np.clip(idx, 0, max(n_s - 1, 0))
-    wi = np.clip(idx - n_s, 0, max(s["wall_length"].shape[0] - 1, 0))
+    wi = np.clip(idx - n_s, 0, max(n_w - 1, 0))
+    bi = np.clip(idx - n_s - n_w, 0, max(n_b - 1, 0))
 
     if n_s:
         sph_n = _normalize(pos - s["sph_center"][si])
     else:
         sph_n = np.zeros_like(pos)
-    if s["wall_length"].shape[0]:
+    if n_w:
         wall_n = s["wall_normal"][wi]
     else:
         wall_n = np.zeros_like(pos)
-    normal = np.where(is_sphere[:, None], sph_n, wall_n)
+    if n_b:
+        box_n = _box_normal(s, bi, o, d, t_safe)
+    else:
+        box_n = np.zeros_like(pos)
+    normal = np.where(
+        is_sphere[:, None], sph_n, np.where(is_box[:, None], box_n, wall_n)
+    )
 
     def pick(field):
-        a = s["sph_" + field][si] if n_s else np.zeros(si.shape + s["wall_" + field].shape[1:])
-        b = (
-            s["wall_" + field][wi]
-            if s["wall_length"].shape[0]
-            else np.zeros_like(a)
-        )
-        if a.ndim == 2:
-            return np.where(is_sphere[:, None], a, b)
-        return np.where(is_sphere, a, b)
+        parts = []
+        if n_s:
+            parts.append(s["sph_" + field])
+        if n_w:
+            parts.append(s["wall_" + field])
+        if n_b:
+            parts.append(s["box_" + field])
+        table = np.concatenate(parts, axis=0)
+        return table[np.clip(idx, 0, table.shape[0] - 1)]
 
     color = pick("color")
     local = _shade(

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from raytracer_tpu.core.types import Lights, Materials, Scene, Sky, Spheres, Walls
+from raytracer_tpu.core.types import Boxes, Lights, Materials, Scene, Sky, Spheres, Walls
 
 __all__ = ["make_mesh", "scene_pspecs", "pad_scene_spheres", "PX_AXIS", "PRIM_AXIS"]
 
@@ -57,6 +57,7 @@ def scene_pspecs() -> Scene:
         walls=Walls(
             position=rep, normal=rep, length=rep, width=rep, material=_mat_specs(rep)
         ),
+        boxes=Boxes(minimum=rep, maximum=rep, material=_mat_specs(rep)),
         lights=Lights(*([rep] * 4)),
         sky=Sky(*([rep] * 4)),
     )
