@@ -58,6 +58,15 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / ITERS
 
     rays_per_s = WIDTH * HEIGHT / dt
+
+    # Secondary metric (BASELINE.json): backward/forward wall-time ratio on
+    # the differentiable-fit parameterization, at a size that compiles fast.
+    from raytracer_tpu.utils.profiler import benchmark_forward_backward
+
+    fb = benchmark_forward_backward(
+        scene, camera, 640, 480, depth=1, iters=5
+    )
+
     print(
         json.dumps(
             {
@@ -66,6 +75,7 @@ def main() -> None:
                 "unit": "rays/s",
                 "vs_baseline": rays_per_s / BASELINE_RAYS_PER_CHIP,
                 "frame_ms": dt * 1e3,
+                "bwd_fwd_ratio": round(fb["bwd_fwd_ratio"], 3),
                 "chips": n_chips,
             }
         )

@@ -34,7 +34,7 @@ def _build_parser() -> argparse.ArgumentParser:
 
     def add_scene_flags(sp):
         sp.add_argument("--config", choices=sorted(BASELINE_CONFIGS), default=None)
-        sp.add_argument("--scene", choices=["demo", "sprint3", "grid", "random"])
+        sp.add_argument("--scene", choices=["demo", "sprint3", "grid", "random", "logo", "mixed"])
         sp.add_argument("--n", type=int, default=64, help="procedural sphere count")
         sp.add_argument("--width", type=int)
         sp.add_argument("--height", type=int)

@@ -44,6 +44,8 @@ class RenderConfig:
             "sprint3": scenes.sprint3_scene,
             "grid": scenes.grid_sphere_scene,
             "random": scenes.random_sphere_scene,
+            "logo": scenes.logo_sphere_scene,
+            "mixed": scenes.mixed_primitive_scene,
         }[self.scene]
         return factory(**self.scene_args)
 
