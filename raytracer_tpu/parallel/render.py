@@ -35,7 +35,7 @@ from raytracer_tpu.parallel.mesh import (
     scene_pspecs,
 )
 
-__all__ = ["render_sharded", "render_sharded_impl"]
+__all__ = ["render_sharded", "render_sharded_impl", "render_soft_sharded_impl"]
 
 
 def _globalize_prim_index(
@@ -179,3 +179,47 @@ def render_sharded(
         tonemap=tonemap,
         prim_chunk=prim_chunk,
     )
+
+
+def render_soft_sharded_impl(
+    scene: Scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    *,
+    mesh: jax.sharding.Mesh,
+    tau: float = 0.02,
+    tau_z: float = 0.05,
+    tonemap: bool = True,
+) -> jnp.ndarray:
+    """Mesh-sharded soft-visibility render (pixel-row sharding).
+
+    The distributed forward pass of the geometry fit: pixel rows shard over
+    'px' and the scene replicates everywhere (the soft compositor streams
+    over every primitive per ray, so the 'prim' axis stays unused here —
+    its shards compute identical tiles). Gradients w.r.t. the replicated
+    scene all-reduce through shard_map's transpose, exactly like the hard
+    path.
+    """
+    from raytracer_tpu.diff.soft import trace_soft
+
+    n_px = mesh.shape[PX_AXIS]
+    rows = -(-height // n_px)
+    h_pad = rows * n_px
+
+    def local_render(scene_rep: Scene, camera: Camera) -> jnp.ndarray:
+        row0 = jax.lax.axis_index(PX_AXIS) * rows
+        o, d = raygen_tile(camera, width, height, row_offset=row0, rows=rows)
+        img = trace_soft(scene_rep, o, d, tau=tau, tau_z=tau_z).stacked()
+        if tonemap:
+            img = reinhard_tonemap(img)
+        return img
+
+    sharded = jax.shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(PX_AXIS, None, None),
+    )
+    img = sharded(scene, camera)
+    return img[:height] if h_pad != height else img

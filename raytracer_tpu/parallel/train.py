@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from raytracer_tpu.core.types import Camera, Scene, pytree_dataclass
-from raytracer_tpu.parallel.render import render_sharded_impl
+from raytracer_tpu.parallel.render import render_sharded_impl, render_soft_sharded_impl
 from raytracer_tpu.render.integrator import render
 
 __all__ = ["FitState", "make_fit_step", "default_params", "merge_params"]
@@ -70,6 +70,9 @@ def make_fit_step(
     optimizer: optax.GradientTransformation | None = None,
     merge: Callable[[Scene, Any], Scene] = merge_params,
     params_fn: Callable[[Scene], Any] = default_params,
+    soft: bool = False,
+    soft_tau: float = 0.01,
+    soft_tau_z: float = 0.05,
 ) -> tuple[Callable, Callable]:
     """Build ``(init_fn, step_fn)`` for the differentiable fit.
 
@@ -83,7 +86,21 @@ def make_fit_step(
 
     def loss_fn(params, scene, camera, target):
         full = merge(scene, params)
-        if mesh is not None:
+        if soft:
+            # Geometry fits need soft visibility (silhouette gradients).
+            if mesh is not None:
+                img = render_soft_sharded_impl(
+                    full, camera, width, height, mesh=mesh,
+                    tau=soft_tau, tau_z=soft_tau_z, tonemap=tonemap,
+                )
+            else:
+                from raytracer_tpu.diff.soft import render_soft
+
+                img = render_soft(
+                    full, camera, width, height,
+                    tau=soft_tau, tau_z=soft_tau_z, tonemap=tonemap,
+                )
+        elif mesh is not None:
             img = render_sharded_impl(
                 full, camera, width, height, mesh=mesh, depth=depth, tonemap=tonemap
             )

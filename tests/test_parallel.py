@@ -117,3 +117,35 @@ def test_fit_reduces_loss():
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_distributed_soft_fit_matches_single_device():
+    """Sharded soft (geometry) fit: psum'd grads == single-device grads."""
+    scene = grid_sphere_scene(4, distance=4.0)
+    camera = reference_demo_camera()
+    from raytracer_tpu.diff import render_soft
+
+    target = render_soft(scene, camera, W, H, tau=0.02, tonemap=False)
+    perturbed = scene.replace(
+        spheres=scene.spheres.replace(center=scene.spheres.center + 0.1)
+    )
+    mesh = make_mesh(px=4, prim=2)
+    init_m, step_m = make_fit_step(
+        W, H, mesh=mesh, soft=True, soft_tau=0.02, tonemap=False
+    )
+    init_s, step_s = make_fit_step(
+        W, H, mesh=None, soft=True, soft_tau=0.02, tonemap=False
+    )
+    st_m, loss_m = step_m(init_m(perturbed), perturbed, camera, target)
+    st_s, loss_s = step_s(init_s(perturbed), perturbed, camera, target)
+    np.testing.assert_allclose(float(loss_m), float(loss_s), rtol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: (
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5
+            ),
+            np.testing.assert_equal(np.isfinite(np.asarray(a)).all(), True),
+        ),
+        st_m.params,
+        st_s.params,
+    )
