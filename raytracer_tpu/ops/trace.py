@@ -414,8 +414,179 @@ def closest_hit_soa(
         )
     else:
         best_t, best_i = fold_fn(scene_sg, o_sg, d_sg)
+    if scene.num_primitives >= _MM_GATHER_MIN_PRIMS:
+        return _mm_hit(scene, o, d, best_t, best_i)
     t = _winner_t(scene, o, d, best_t, best_i)
     return gather_hit(scene, o, d, t, best_i)
+
+
+
+
+# From this many primitives up, winner attributes come from a single one-hot
+# matmul on the MXU instead of per-field jnp.take: on this backend a gather
+# with a runtime-computed index lowers to O(table_N) full-image passes
+# (measured 8.7 GB traffic for ONE take from a 1027-entry table at 1080p;
+# 14 takes = 210 ms), while the fused one-hot matmul moves 0.03 GB and runs
+# in ~4 ms — and it is differentiable w.r.t. the table, so material/geometry
+# gradients flow exactly like through a gather.
+_MM_GATHER_MIN_PRIMS = 32
+
+# Packed attribute-table columns (one row per primitive):
+#   0-2 color | 3 ambient | 4 metallic | 5 diffuse | 6 specular | 7 exponent
+#   8-13 geometry: sphere (center xyz, radius, 0, 0)
+#                  wall   (unit normal xyz, corner position xyz)
+#                  box    (min corner xyz, max corner xyz)
+_PACK_D = 14
+
+
+def _packed_table(scene: Scene) -> jnp.ndarray:
+    """The [N_total, 14] per-primitive attribute table (differentiable)."""
+    parts = []
+    s, w, b = scene.spheres, scene.walls, scene.boxes
+    if len(s):
+        m = s.material
+        parts.append(jnp.concatenate([
+            m.color, m.ambient[:, None], m.metallic[:, None],
+            m.diffuse[:, None], m.specular[:, None],
+            m.specular_exponent[:, None],
+            s.center, s.radius[:, None], jnp.zeros((len(s), 2), jnp.float32),
+        ], axis=1))
+    if len(w):
+        m = w.material
+        parts.append(jnp.concatenate([
+            m.color, m.ambient[:, None], m.metallic[:, None],
+            m.diffuse[:, None], m.specular[:, None],
+            m.specular_exponent[:, None],
+            w.normal, w.position,
+        ], axis=1))
+    if len(b):
+        m = b.material
+        parts.append(jnp.concatenate([
+            m.color, m.ambient[:, None], m.metallic[:, None],
+            m.diffuse[:, None], m.specular[:, None],
+            m.specular_exponent[:, None],
+            b.minimum, b.maximum,
+        ], axis=1))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _onehot_matmul_gather(table: jnp.ndarray, idx: jnp.ndarray) -> list:
+    """[N, D] table x [...] int idx -> list of D [...] arrays, via the MXU.
+
+    The one-hot operand fuses into the dot (never materialized); f32
+    accumulation keeps geometry attributes exact to f32 rounding.
+    """
+    n = table.shape[0]
+    flat = idx.reshape(-1)
+    oh = (flat[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]).astype(
+        jnp.float32
+    )
+    attrs = jnp.dot(oh, table, preferred_element_type=jnp.float32)  # [P, D]
+    return [attrs[:, k].reshape(idx.shape) for k in range(table.shape[1])]
+
+
+def _mm_hit(
+    scene: Scene, o: V3, d: V3, best_t: jnp.ndarray, best_i: jnp.ndarray
+) -> SoAHit:
+    """Large-scene hit record: packed-attribute matmul + per-type winner math.
+
+    Replaces both the per-field gathers and ``_winner_t``'s re-gathers with
+    ONE differentiable one-hot matmul; the winner's t/normal are then
+    recomputed from the packed geometry columns with branchless type selects
+    (types are static index ranges: spheres, then walls, then boxes).
+    """
+    n_s, n_w, n_b = len(scene.spheres), len(scene.walls), len(scene.boxes)
+    n_tot = n_s + n_w + n_b
+    hit = best_t < MISS_T
+    idx = jnp.clip(best_i, 0, n_tot - 1)
+
+    a = _onehot_matmul_gather(_packed_table(scene), idx)
+    color = V3(a[0], a[1], a[2])
+    ambient, metallic, diffuse, specular, exponent = a[3], a[4], a[5], a[6], a[7]
+    g = a[8:14]
+
+    is_sphere = idx < n_s
+    is_wall = (idx >= n_s) & (idx < n_s + n_w)
+    is_box = idx >= n_s + n_w
+
+    # --- differentiable winner t per type (see _winner_t for the small-N
+    # take-based equivalent) ---
+    t = best_t
+    if n_s:
+        c = V3(g[0], g[1], g[2])
+        r = g[3]
+        oc = o - c
+        bq = 2.0 * d.dot(oc)
+        cq = oc.norm2() - r * r
+        det = bq * bq - 4.0 * cq
+        pos = det >= 0.0
+        sq = jnp.sqrt(jnp.where(pos, det, 1.0))
+        t_s = jnp.where(pos, 0.5 * (-bq - sq), 1.0)
+        t = jnp.where(hit & is_sphere, t_s, t)
+    if n_w:
+        nrm = V3(g[0], g[1], g[2])
+        pos_w = V3(g[3], g[4], g[5])
+        denom = d.dot(nrm)
+        ok = jnp.abs(denom) > 1e-12
+        t_w = (pos_w - o).dot(nrm) / jnp.where(ok, denom, 1.0)
+        t = jnp.where(hit & is_wall & ok, t_w, t)
+    if n_b:
+        inv = _safe_inv(d)
+        mn = V3(g[0], g[1], g[2])
+        mx = V3(g[3], g[4], g[5])
+        t_b = jnp.maximum(
+            jnp.maximum(
+                jnp.minimum((mn.x - o.x) * inv.x, (mx.x - o.x) * inv.x),
+                jnp.minimum((mn.y - o.y) * inv.y, (mx.y - o.y) * inv.y),
+            ),
+            jnp.minimum((mn.z - o.z) * inv.z, (mx.z - o.z) * inv.z),
+        )
+        t = jnp.where(hit & is_box, t_b, t)
+
+    t_safe = jnp.where(hit, t, 1.0)
+    point = o + d * t_safe
+
+    # --- normals per type from the same geometry columns ---
+    normal = None
+    if n_s:
+        c = V3(g[0], g[1], g[2])
+        normal = (point - c) * (1.0 / jnp.maximum(g[3], 1e-12))
+    if n_w:
+        wall_n = V3(g[0], g[1], g[2])
+        normal = wall_n if normal is None else V3.where(is_sphere, normal, wall_n)
+    if n_b:
+        inv = _safe_inv(d)
+        mn = V3(g[0], g[1], g[2])
+        mx = V3(g[3], g[4], g[5])
+        tx = (V3.where(d.x >= 0, mn, mx).x - o.x) * inv.x
+        ty = (V3.where(d.y >= 0, mn, mx).y - o.y) * inv.y
+        tz = (V3.where(d.z >= 0, mn, mx).z - o.z) * inv.z
+        bx = (tx >= ty) & (tx >= tz)
+        by = jnp.logical_not(bx) & (ty >= tz)
+        bz = jnp.logical_not(bx) & jnp.logical_not(by)
+        box_n = V3(
+            jnp.where(bx, -jnp.sign(d.x), 0.0),
+            jnp.where(by, -jnp.sign(d.y), 0.0),
+            jnp.where(bz, -jnp.sign(d.z), 0.0),
+        )
+        normal = box_n if normal is None else V3.where(is_box, box_n, normal)
+
+    unit_z = V3(jnp.zeros_like(best_t), jnp.zeros_like(best_t), jnp.ones_like(best_t))
+    normal = V3.where(hit, normal, unit_z)
+
+    return SoAHit(
+        t=jnp.where(hit, t, best_t),
+        hit=hit,
+        point=point,
+        normal=normal,
+        prim_index=jnp.where(hit, best_i, -1),
+        color=color,
+        ambient=ambient,
+        metallic=metallic,
+        diffuse=diffuse,
+        specular=specular,
+        specular_exponent=exponent,
+    )
 
 
 # Up to this many primitives, winner attributes come from a compare/select

@@ -153,3 +153,46 @@ def test_multiple_point_lights_vs_oracle():
     want = numpy_ref.render_oracle(scene, scenes.reference_demo_camera(),
                                    64, 48, depth=1, tonemap=False)
     assert np.isclose(img, want, atol=1e-3).mean() > 0.995
+
+
+def test_mm_gather_path_matches_take_path():
+    """Large scenes use the one-hot-matmul attribute fetch; it must agree
+    with the small-scene take path and stay differentiable."""
+    import jax
+
+    import raytracer_tpu.ops.trace as T
+
+    scene = scenes.grid_sphere_scene(40, distance=6.0)  # 41 prims -> mm path
+    cam = scenes.reference_demo_camera()
+    assert scene.num_primitives >= T._MM_GATHER_MIN_PRIMS
+
+    img_mm = np.asarray(integrator.render(scene, cam, 48, 36, depth=2, tonemap=False))
+    old = T._MM_GATHER_MIN_PRIMS
+    try:
+        T._MM_GATHER_MIN_PRIMS = 10**9  # force the take path
+        img_take = np.asarray(
+            jax.jit(
+                lambda s, c: integrator.render.__wrapped__(
+                    s, c, 48, 36, depth=2, tonemap=False
+                )
+            )(scene, cam)
+        )
+    finally:
+        T._MM_GATHER_MIN_PRIMS = old
+    np.testing.assert_allclose(img_mm, img_take, atol=2e-5)
+
+    # gradients flow through the matmul to material and geometry params
+    def loss(dc):
+        s2 = scene.replace(
+            spheres=scene.spheres.replace(
+                center=scene.spheres.center + dc,
+                material=scene.spheres.material.replace(
+                    color=scene.spheres.material.color + dc
+                ),
+            )
+        )
+        img = integrator.render(s2, cam, 48, 36, depth=1, tonemap=False)
+        return jnp.mean(img)
+
+    g = float(jax.grad(loss)(0.0))
+    assert np.isfinite(g) and g != 0.0
