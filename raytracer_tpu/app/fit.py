@@ -40,6 +40,8 @@ def run_fit(
 ) -> int:
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    metrics_path = out_dir / "metrics.jsonl"  # structured per-step metrics
+    metrics_file = open(metrics_path, "a")
     w, h = cfg.width, cfg.height
 
     truth = cfg.build_scene()
@@ -101,17 +103,17 @@ def run_fit(
             err = float(
                 jnp.abs(state["params"]["center"] - truth.spheres.center).mean()
             )
-            print(
-                json.dumps(
-                    {
-                        "step": int(state["step"]),
-                        "loss": float(loss),
-                        "center_err": err,
-                        "elapsed_s": round(time.perf_counter() - t0, 2),
-                    }
-                ),
-                flush=True,
+            line = json.dumps(
+                {
+                    "step": int(state["step"]),
+                    "loss": float(loss),
+                    "center_err": err,
+                    "elapsed_s": round(time.perf_counter() - t0, 2),
+                }
             )
+            print(line, flush=True)
+            metrics_file.write(line + "\n")
+            metrics_file.flush()
         if (i + 1) % checkpoint_every == 0:
             save_pytree(out_dir / "checkpoint.npz", state)
 
@@ -126,5 +128,8 @@ def run_fit(
         ),
     )
     final_err = float(jnp.abs(state["params"]["center"] - truth.spheres.center).mean())
-    print(json.dumps({"final_center_err": final_err, "final_loss": float(loss)}))
+    line = json.dumps({"final_center_err": final_err, "final_loss": float(loss)})
+    print(line)
+    metrics_file.write(line + "\n")
+    metrics_file.close()
     return 0
