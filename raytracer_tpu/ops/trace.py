@@ -796,6 +796,12 @@ def resolve_fold_fn(fold: str, prim_unroll: int, num_prims: int) -> Callable | N
             else "jnp"
         )
     if fold == "pallas":
+        # Tile-coherent culling variant: bit-compatible with the flat kernel
+        # (culling is conservative) and faster on coherent primary tiles.
+        from raytracer_tpu.ops.pallas_fold import fold_closest_pallas_cull
+
+        return fold_closest_pallas_cull
+    if fold == "pallas_flat":
         from raytracer_tpu.ops.pallas_fold import fold_closest_pallas
 
         return fold_closest_pallas
