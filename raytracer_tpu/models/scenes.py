@@ -194,7 +194,9 @@ def logo_sphere_scene(
     """
     ys, zs = [], []
     x_cursor = 0.0
-    for ch in text.upper():
+    # Glyph y-coords are negated below (the direction-flip mirror), which
+    # also reverses letter order — so lay the text out right-to-left.
+    for ch in reversed(text.upper()):
         glyph = _GLYPHS.get(ch)
         if glyph is None:
             x_cursor += 3 * spacing  # unknown char: blank space
@@ -203,7 +205,7 @@ def logo_sphere_scene(
             for col, cell in enumerate(line):
                 if cell == "#":
                     ys.append(x_cursor + col * spacing)
-                    zs.append((row - 4.5) * spacing)  # rows top -> down (z is down)
+                    zs.append((3.0 - row) * spacing)  # rows top -> down
         x_cursor += (len(glyph[0]) + 1.5) * spacing
     n = len(ys)
     # Negate y: the replicated direction flip (main.cpp:133) mirrors the
