@@ -354,8 +354,8 @@ def _winner_t(
     t = best_t  # miss lanes: constant MISS_T (stop-gradded by caller)
     if n_s:
         si = jnp.clip(best_i, 0, n_s - 1)
-        c = V3.from_stacked(scene.spheres.center).take(si)
-        r = jnp.take(scene.spheres.radius, si, mode="clip")
+        c = _take3(scene.spheres.center, si)
+        r = _take(scene.spheres.radius, si)
         oc = o - c
         b = 2.0 * d.dot(oc)
         cc = oc.norm2() - r * r
@@ -367,8 +367,8 @@ def _winner_t(
         t = jnp.where(is_sphere, t_s, t)
     if n_w:
         wi = jnp.clip(best_i - n_s, 0, n_w - 1)
-        n = V3.from_stacked(scene.walls.normal).take(wi)
-        p = V3.from_stacked(scene.walls.position).take(wi)
+        n = _take3(scene.walls.normal, wi)
+        p = _take3(scene.walls.position, wi)
         denom = d.dot(n)
         ok = jnp.abs(denom) > 1e-12
         t_w = (p - o).dot(n) / jnp.where(ok, denom, 1.0)
@@ -377,8 +377,8 @@ def _winner_t(
     if n_b:
         bi = jnp.clip(best_i - n_s - n_w, 0, n_b - 1)
         inv = _safe_inv(d)
-        mn = V3.from_stacked(scene.boxes.minimum).take(bi)
-        mx = V3.from_stacked(scene.boxes.maximum).take(bi)
+        mn = _take3(scene.boxes.minimum, bi)
+        mx = _take3(scene.boxes.maximum, bi)
         t_b = jnp.maximum(
             jnp.maximum(
                 jnp.minimum((mn.x - o.x) * inv.x, (mx.x - o.x) * inv.x),
@@ -597,6 +597,83 @@ def _mm_hit(
 _SELECT_GATHER_MAX = 0
 
 
+# Trace-time switch: shard_map's varying-axes transpose inference cannot see
+# through custom_vjp, so the prim-sharded renderer (parallel/render.py)
+# temporarily restores the builtin take transpose inside its hit function.
+_USE_CUSTOM_TAKE = True
+
+
+class builtin_take_transpose:
+    """Context manager: use jnp.take's native VJP during tracing."""
+
+    def __enter__(self):
+        global _USE_CUSTOM_TAKE
+        self._old = _USE_CUSTOM_TAKE
+        _USE_CUSTOM_TAKE = False
+
+    def __exit__(self, *a):
+        global _USE_CUSTOM_TAKE
+        _USE_CUSTOM_TAKE = self._old
+
+
+@jax.custom_vjp
+def _ctake(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``jnp.take(table, idx, mode="clip")`` with a matmul backward.
+
+    The transpose of a runtime-index take is a scatter-add, which this
+    backend lowers catastrophically (measured 55 GB of traffic / 20x-fwd
+    backward time for a 3-primitive 960x540 frame). The custom backward
+    accumulates the table cotangent as ``one_hot(idx)^T @ ct`` — an MXU
+    matmul whose one-hot operand fuses into the dot.
+    """
+    return jnp.take(table, idx, mode="clip")
+
+
+def _ctake_fwd(table, idx):
+    return _ctake(table, idx), (idx, jnp.zeros((table.shape[0],), table.dtype))
+
+
+def _ctake_bwd(res, ct):
+    idx, shape_carrier = res
+    n = shape_carrier.shape[0]
+    flat = jnp.clip(idx.reshape(-1), 0, n - 1)
+    oh = (flat[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]).astype(
+        ct.dtype
+    )
+    g = jnp.dot(ct.reshape(-1), oh, preferred_element_type=jnp.float32)
+    return g, None
+
+
+_ctake.defvjp(_ctake_fwd, _ctake_bwd)
+
+
+@jax.custom_vjp
+def _ctake_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row lookup from an [N, D] table, matmul backward (see ``_ctake``)."""
+    return jnp.take(table, idx, axis=0, mode="clip")
+
+
+def _ctake_rows_fwd(table, idx):
+    return _ctake_rows(table, idx), (
+        idx, jnp.zeros((table.shape[0],), table.dtype)
+    )
+
+
+def _ctake_rows_bwd(res, ct):
+    idx, shape_carrier = res
+    n = shape_carrier.shape[0]
+    d = ct.shape[-1]
+    flat = jnp.clip(idx.reshape(-1), 0, n - 1)
+    oh = (flat[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]).astype(
+        ct.dtype
+    )
+    g = jnp.dot(oh.T, ct.reshape(-1, d), preferred_element_type=jnp.float32)
+    return g, None
+
+
+_ctake_rows.defvjp(_ctake_rows_fwd, _ctake_rows_bwd)
+
+
 def _take(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Per-ray lookup from a small [N] table (select-chain under the cap)."""
     n = table.shape[0]
@@ -605,14 +682,16 @@ def _take(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         for k in range(1, n):
             out = jnp.where(idx == k, table[k], out)
         return out
-    return jnp.take(table, idx, mode="clip")
+    if not _USE_CUSTOM_TAKE:
+        return jnp.take(table, idx, mode="clip")
+    return _ctake(table, idx)
 
 
 def _take3(table: jnp.ndarray, idx: jnp.ndarray) -> V3:
     """Per-ray V3 lookup from a small [N, 3] table."""
-    t = V3.from_stacked(table)
     n = table.shape[0]
     if 1 < n <= _SELECT_GATHER_MAX:
+        t = V3.from_stacked(table)
         out = V3(
             jnp.broadcast_to(t.x[0], idx.shape),
             jnp.broadcast_to(t.y[0], idx.shape),
@@ -626,7 +705,10 @@ def _take3(table: jnp.ndarray, idx: jnp.ndarray) -> V3:
                 jnp.where(pred, t.z[k], out.z),
             )
         return out
-    return t.take(idx)
+    if not _USE_CUSTOM_TAKE:
+        return V3.from_stacked(table).take(idx)
+    rows = _ctake_rows(table, idx.reshape(-1)).reshape(idx.shape + (3,))
+    return V3.from_stacked(rows)
 
 
 def gather_hit(

@@ -120,7 +120,13 @@ def render_sharded_impl(
         if n_prim > 1:
 
             def hit_fn(sc, oo, dd):
-                rec = closest_hit_soa(sc, oo, dd, prim_unroll=prim_chunk)
+                # Builtin take transpose: shard_map's replication inference
+                # can't see through the custom-VJP matmul backward when the
+                # sphere tables are 'prim'-sharded.
+                from raytracer_tpu.ops.trace import builtin_take_transpose
+
+                with builtin_take_transpose():
+                    rec = closest_hit_soa(sc, oo, dd, prim_unroll=prim_chunk)
                 rec = _globalize_prim_index(rec, n_s_local, n_s_global, PRIM_AXIS)
                 return _combine_hits(rec, PRIM_AXIS)
 

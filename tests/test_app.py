@@ -85,3 +85,30 @@ def test_fit_driver_smoke(tmp_path, capsys):
     last = capsys.readouterr().out.strip().splitlines()[-1]
     res = json.loads(last)
     assert np.isfinite(res["final_loss"])
+
+
+def test_benchmark_scaling_cpu_mesh():
+    from raytracer_tpu.models.scenes import reference_demo_camera, reference_demo_scene
+    from raytracer_tpu.utils.profiler import benchmark_scaling
+
+    res = benchmark_scaling(
+        reference_demo_scene(), reference_demo_camera(), 32, 16,
+        depth=1, iters=2, device_counts=[1, 2],
+    )
+    assert [r["devices"] for r in res] == [1, 2]
+    assert res[0]["scaling_efficiency"] == 1.0
+    assert all(r["primary_rays_per_s"] > 0 for r in res)
+
+
+def test_phase_timer_report_and_save(tmp_path):
+    from raytracer_tpu.utils.profiler import PhaseTimer
+
+    t = PhaseTimer()
+    with t.phase("raytracing"):
+        pass
+    t.record("render", 0.002)
+    rep = t.report()
+    assert "raytracing" in rep and "render" in rep
+    t.save(tmp_path / "frames.log")
+    text = (tmp_path / "frames.log").read_text()
+    assert "average render time" in text and "# render per-frame seconds" in text
