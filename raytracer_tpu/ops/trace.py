@@ -415,9 +415,56 @@ def closest_hit_soa(
     else:
         best_t, best_i = fold_fn(scene_sg, o_sg, d_sg)
     if scene.num_primitives >= _MM_GATHER_MIN_PRIMS:
+        # The mm path is matmul-based in both directions — no special VJP.
         return _mm_hit(scene, o, d, best_t, best_i)
+
+    if not _USE_CUSTOM_TAKE:
+        t = _winner_t(scene, o, d, best_t, best_i)
+        return gather_hit(scene, o, d, t, best_i)
+
+    # Small scenes: the fused take-based primal is the fast forward, but the
+    # native take TRANSPOSE (scatter-add) lowers to ~O(rays) serial updates
+    # on this backend (55 GB / 20x-fwd backward measured). Wrapping a
+    # custom_vjp around an individual take would box it out of fusion and
+    # wreck the forward instead — so the box goes around the WHOLE hit
+    # record, and the backward differentiates the value-identical matmul
+    # implementation (_mm_hit).
+    return _boxed_hit(scene, o, d, best_t, best_i)
+
+
+def _hit_fwd(scene, o, d, best_t, best_i):
+    return _boxed_hit(scene, o, d, best_t, best_i), (scene, o, d, best_t, best_i)
+
+
+def _hit_bwd(res, ct):
+    import numpy as np
+
+    scene, o, d, best_t, best_i = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: _mm_hit(a, b, c, best_t, best_i), scene, o, d
+    )
+    g_scene, g_o, g_d = vjp(ct)
+    return (
+        g_scene, g_o, g_d,
+        jnp.zeros_like(best_t),
+        np.zeros(best_i.shape, dtype=jax.dtypes.float0),
+    )
+
+
+@jax.custom_vjp
+def _boxed_hit(scene, o, d, best_t, best_i):
+    """Take-based hit record with the matmul-implementation backward.
+
+    Primal: the fully-fused take path (fast forward). Backward:
+    differentiate the value-identical ``_mm_hit`` (matmul gathers), because
+    the native take transpose lowers catastrophically here. best_t/best_i
+    come from the stop-gradiented fold and carry zero cotangents.
+    """
     t = _winner_t(scene, o, d, best_t, best_i)
     return gather_hit(scene, o, d, t, best_i)
+
+
+_boxed_hit.defvjp(_hit_fwd, _hit_bwd)
 
 
 
@@ -599,12 +646,13 @@ _SELECT_GATHER_MAX = 0
 
 # Trace-time switch: shard_map's varying-axes transpose inference cannot see
 # through custom_vjp, so the prim-sharded renderer (parallel/render.py)
-# temporarily restores the builtin take transpose inside its hit function.
+# disables the custom-backward hit wrapper inside its hit function (the
+# native take transpose is slower but inference-friendly).
 _USE_CUSTOM_TAKE = True
 
 
 class builtin_take_transpose:
-    """Context manager: use jnp.take's native VJP during tracing."""
+    """Context manager: use the native take VJP during tracing."""
 
     def __enter__(self):
         global _USE_CUSTOM_TAKE
@@ -616,63 +664,6 @@ class builtin_take_transpose:
         _USE_CUSTOM_TAKE = self._old
 
 
-@jax.custom_vjp
-def _ctake(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """``jnp.take(table, idx, mode="clip")`` with a matmul backward.
-
-    The transpose of a runtime-index take is a scatter-add, which this
-    backend lowers catastrophically (measured 55 GB of traffic / 20x-fwd
-    backward time for a 3-primitive 960x540 frame). The custom backward
-    accumulates the table cotangent as ``one_hot(idx)^T @ ct`` — an MXU
-    matmul whose one-hot operand fuses into the dot.
-    """
-    return jnp.take(table, idx, mode="clip")
-
-
-def _ctake_fwd(table, idx):
-    return _ctake(table, idx), (idx, jnp.zeros((table.shape[0],), table.dtype))
-
-
-def _ctake_bwd(res, ct):
-    idx, shape_carrier = res
-    n = shape_carrier.shape[0]
-    flat = jnp.clip(idx.reshape(-1), 0, n - 1)
-    oh = (flat[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]).astype(
-        ct.dtype
-    )
-    g = jnp.dot(ct.reshape(-1), oh, preferred_element_type=jnp.float32)
-    return g, None
-
-
-_ctake.defvjp(_ctake_fwd, _ctake_bwd)
-
-
-@jax.custom_vjp
-def _ctake_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row lookup from an [N, D] table, matmul backward (see ``_ctake``)."""
-    return jnp.take(table, idx, axis=0, mode="clip")
-
-
-def _ctake_rows_fwd(table, idx):
-    return _ctake_rows(table, idx), (
-        idx, jnp.zeros((table.shape[0],), table.dtype)
-    )
-
-
-def _ctake_rows_bwd(res, ct):
-    idx, shape_carrier = res
-    n = shape_carrier.shape[0]
-    d = ct.shape[-1]
-    flat = jnp.clip(idx.reshape(-1), 0, n - 1)
-    oh = (flat[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]).astype(
-        ct.dtype
-    )
-    g = jnp.dot(oh.T, ct.reshape(-1, d), preferred_element_type=jnp.float32)
-    return g, None
-
-
-_ctake_rows.defvjp(_ctake_rows_fwd, _ctake_rows_bwd)
-
 
 def _take(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Per-ray lookup from a small [N] table (select-chain under the cap)."""
@@ -682,9 +673,7 @@ def _take(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         for k in range(1, n):
             out = jnp.where(idx == k, table[k], out)
         return out
-    if not _USE_CUSTOM_TAKE:
-        return jnp.take(table, idx, mode="clip")
-    return _ctake(table, idx)
+    return jnp.take(table, idx, mode="clip")
 
 
 def _take3(table: jnp.ndarray, idx: jnp.ndarray) -> V3:
@@ -705,10 +694,7 @@ def _take3(table: jnp.ndarray, idx: jnp.ndarray) -> V3:
                 jnp.where(pred, t.z[k], out.z),
             )
         return out
-    if not _USE_CUSTOM_TAKE:
-        return V3.from_stacked(table).take(idx)
-    rows = _ctake_rows(table, idx.reshape(-1)).reshape(idx.shape + (3,))
-    return V3.from_stacked(rows)
+    return V3.from_stacked(table).take(idx)
 
 
 def gather_hit(
