@@ -2,8 +2,11 @@
 
 Rebuild of the reference's SDL window + event loop (main.cpp:144-397):
 frames render continuously, WASD/arrow keys move the camera
-(main.cpp:253-307), ``q`` quits (main.cpp:296-298), and per-phase timing
-averages print on exit (main.cpp:384-392, via the native timing registry).
+(main.cpp:253-307), ``,``/``.`` yaw and ``[``/``]`` pitch (the reference's
+rotate_left_right/rotate_up_down, scene.cpp:137-165 — implemented there but
+left unbound, main.cpp:319-323), ``q`` quits (main.cpp:296-298), and
+per-phase timing averages print on exit (main.cpp:384-392, via the native
+timing registry).
 Presentation is ANSI truecolor in the terminal (io/term.py) since TPU hosts
 have no display.
 """
@@ -107,6 +110,10 @@ def run_viewer(cfg: RenderConfig, *, max_cols: int = 100, max_frames: int = 0,
                 camera = rotate_left_right(camera, 0.1)
             elif key == ".":
                 camera = rotate_left_right(camera, -0.1)
+            elif key == "[":  # pitch (reference: rotate_up_down,
+                camera = rotate_up_down(camera, 0.1)  # scene.cpp:147-165 —
+            elif key == "]":  # implemented there but its call sites are
+                camera = rotate_up_down(camera, -0.1)  # commented out)
     except KeyboardInterrupt:
         pass
     finally:

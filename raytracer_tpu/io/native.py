@@ -28,11 +28,18 @@ _tried = False
 
 
 def build_native(force: bool = False) -> Path | None:
-    """Compile native/ -> librt_native.so; returns the path or None."""
+    """Compile native/ -> librt_native.so; returns the path or None.
+
+    Rebuilds whenever any source file is newer than the library, so edits to
+    ``native/src/*.cpp`` are never silently ignored by a stale binary.
+    """
+    src_paths = sorted((_NATIVE_DIR / "src").glob("*.cpp"))
     if _LIB.exists() and not force:
-        return _LIB
+        lib_mtime = _LIB.stat().st_mtime
+        if all(p.stat().st_mtime <= lib_mtime for p in src_paths):
+            return _LIB
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
-    srcs = [str(p) for p in (_NATIVE_DIR / "src").glob("*.cpp")]
+    srcs = [str(p) for p in src_paths]
     cmd = [
         "g++", "-std=c++17", "-O3", "-g", "-fPIC", "-shared", "-Wall",
         *srcs, "-lz", "-o", str(_LIB),

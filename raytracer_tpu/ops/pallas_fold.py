@@ -129,11 +129,14 @@ def _kernel(n_s: int, n_w: int, n_b: int, wall_base: int, box_base: int):
             )
 
         if n_b:
-            # Safe reciprocal direction, hoisted (see ops/trace.py _safe_inv).
+            # Safe reciprocal direction, hoisted; sign-preserving fill keeps
+            # it bit-compatible with ops/trace.py _safe_inv (sign(0)*BIG
+            # would be 0, collapsing that slab axis for axis-parallel rays).
             def srecip(c):
                 ok = jnp.abs(c) > 1e-12
                 return jnp.where(
-                    ok, 1.0 / jnp.where(ok, c, 1.0), jnp.sign(c) * 2e30
+                    ok, 1.0 / jnp.where(ok, c, 1.0),
+                    jnp.where(c >= 0.0, 1e30, -1e30),
                 )
 
             ivx, ivy, ivz = srecip(vdx), srecip(vdy), srecip(vdz)
@@ -432,7 +435,8 @@ def _kernel2d(n_s: int, n_w: int, n_b: int, wall_base: int, box_base: int):
             def srecip(c):
                 ok = jnp.abs(c) > 1e-12
                 return jnp.where(
-                    ok, 1.0 / jnp.where(ok, c, 1.0), jnp.sign(c) * 2e30
+                    ok, 1.0 / jnp.where(ok, c, 1.0),
+                    jnp.where(c >= 0.0, 1e30, -1e30),
                 )
 
             ivx, ivy, ivz = srecip(vdx), srecip(vdy), srecip(vdz)

@@ -225,7 +225,11 @@ def _safe_inv(d: V3) -> V3:
     """
     def inv(c):
         ok = jnp.abs(c) > 1e-12
-        return jnp.where(ok, 1.0 / jnp.where(ok, c, 1.0), jnp.sign(c) * 1e30 + 1e30)
+        # Sign-preserving fill: sign(c)*BIG would give 0 for c in (-eps, 0]
+        # (sign(-tiny)*1e30 + 1e30 == 0), collapsing that slab axis to (0,0)
+        # and wrongly rejecting boxes. c >= 0 keeps the fill huge either way.
+        return jnp.where(ok, 1.0 / jnp.where(ok, c, 1.0),
+                         jnp.where(c >= 0.0, 1e30, -1e30))
 
     return V3(inv(d.x), inv(d.y), inv(d.z))
 
@@ -528,7 +532,17 @@ def _onehot_matmul_gather(table: jnp.ndarray, idx: jnp.ndarray) -> list:
     oh = (flat[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]).astype(
         jnp.float32
     )
-    attrs = jnp.dot(oh, table, preferred_element_type=jnp.float32)  # [P, D]
+    # Precision.HIGHEST: the TPU default matmul precision would round the
+    # table through bf16 (measured 3.9e-3 abs error on O(1) geometry values),
+    # skewing every >=32-prim hit record AND making the custom-VJP backward
+    # differentiate a not-value-identical function. The matmul is
+    # bandwidth-bound, so full precision costs nothing.
+    attrs = jnp.dot(
+        oh,
+        table,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [P, D]
     return [attrs[:, k].reshape(idx.shape) for k in range(table.shape[1])]
 
 

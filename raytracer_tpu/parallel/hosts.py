@@ -30,11 +30,17 @@ def initialize_distributed(
     """Initialize JAX's distributed runtime if running multi-process.
 
     With no arguments, relies on the TPU environment's auto-detection
-    (GKE/GCE metadata); returns False on single-process runs instead of
-    raising, so local development needs no branches.
+    (GKE/GCE metadata); auto-detection failure on a plain single-process
+    machine returns False (expected — local development needs no branches).
+    With EXPLICIT arguments the caller asked for multi-process, so any
+    failure is a genuine misconfiguration and re-raises instead of silently
+    degrading to a single-host run.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # NOTE: must not touch jax.process_count()/jax.devices() here — any
+    # backend query before jax.distributed.initialize() is a hard error.
+    if jax.distributed.is_initialized():
+        return True
+    explicit = coordinator_address is not None or num_processes is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -42,7 +48,14 @@ def initialize_distributed(
             process_id=process_id,
         )
         return True
-    except Exception:
+    except (RuntimeError, ValueError) as e:
+        if explicit:
+            raise
+        import logging
+
+        logging.getLogger(__name__).info(
+            "jax.distributed auto-detection unavailable (%s); single-process", e
+        )
         return False
 
 

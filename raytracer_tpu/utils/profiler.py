@@ -176,7 +176,10 @@ def benchmark_forward_backward(
         "forward_ms": t_fwd * 1e3,
         "forward_backward_ms": t_both * 1e3,
         "backward_ms": t_bwd * 1e3,
-        "bwd_fwd_ratio": t_both / t_fwd if t_fwd > 0 else float("inf"),
+        # backward/forward wall time — the BASELINE.json secondary metric
+        # (NOT (fwd+bwd)/fwd; that is fwdbwd_over_fwd below).
+        "bwd_fwd_ratio": t_bwd / t_fwd if t_fwd > 0 else float("inf"),
+        "fwdbwd_over_fwd": t_both / t_fwd if t_fwd > 0 else float("inf"),
     }
 
 
