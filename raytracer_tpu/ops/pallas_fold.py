@@ -34,7 +34,12 @@ from raytracer_tpu.core.types import Scene
 from raytracer_tpu.core.v3 import V3
 from raytracer_tpu.ops.trace import MISS_T, _wall_tables
 
-__all__ = ["fold_closest_pallas", "pallas_available"]
+__all__ = [
+    "fold_closest_pallas",
+    "fold_closest_pallas_cull",
+    "fold_closest_pallas_shortlist",
+    "pallas_available",
+]
 
 _LANES = 128
 _TILE_ROWS = 256  # rays per tile = 256 x 128 = 32768; carries stay in VMEM
@@ -268,7 +273,7 @@ def _packed_fold_tables(scene: Scene):
 
 
 def fold_closest_pallas(
-    scene: Scene, o: V3, d: V3, *, interpret: bool = False
+    scene: Scene, o: V3, d: V3, *, interpret: bool | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(min-t, argmin index) for each ray — Pallas drop-in for the jnp fold.
 
@@ -276,6 +281,8 @@ def fold_closest_pallas(
     shape); flattens to [M, 128] tiles, pads the remainder with dead rays,
     and crops the result back.
     """
+    if interpret is None:
+        interpret = not pallas_available()
     shape = jnp.broadcast_shapes(o.x.shape, d.x.shape)
     p = 1
     for s in shape:
@@ -530,13 +537,15 @@ def _scene_tfar(scene: Scene, o: V3) -> jnp.ndarray:
 
 
 def fold_closest_pallas_cull(
-    scene: Scene, o: V3, d: V3, *, interpret: bool = False
+    scene: Scene, o: V3, d: V3, *, interpret: bool | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Tile-coherent culling fold over [H, W] ray components.
 
     Bit-compatible with ``fold_closest_pallas`` (culling is conservative);
     pads H/W up to tile multiples with dead rays and crops back.
     """
+    if interpret is None:
+        interpret = not pallas_available()
     shape = jnp.broadcast_shapes(o.x.shape, d.x.shape)
     h, w = shape
     hp = -(-h // _TILE2_R) * _TILE2_R
@@ -559,6 +568,342 @@ def fold_closest_pallas_cull(
         n_s=counts["n_s_pad"], n_w=counts["n_w_pad"], n_b=counts["n_b_pad"],
         wall_base=counts["n_s"], box_base=counts["n_s"] + counts["n_w"],
         interpret=interpret,
+    )
+    if hp != h or wp != w:
+        bt, bi = bt[:h, :w], bi[:h, :w]
+    return bt, bi
+
+
+# ---------------------------------------------------------------------------
+# Shortlist fold: the TPU-native two-level acceleration structure.
+#
+# The reach-box cull above tests every chunk inside the kernel with a global
+# t_far — loose (measured: only 2.1x over brute force at 1024 spheres,
+# 1080p primary rays). This fold moves candidate selection OUT of the kernel
+# into vectorized XLA (phase A) and hands the kernel a compacted per-tile
+# chunk shortlist (phase B), with two structural upgrades:
+#
+# * **Slab clipping**: every ray is clipped against the AABB of the sphere
+#   set (for grid/logo scenes a thin slab). Any sphere hit point must lie on
+#   the clipped segment, so the tile's reach box is the union of SHORT
+#   segments instead of O + [0, t_far_global] * D. Primary tiles cull to
+#   their frustum-through-the-slab footprint; divergent bounce rays become
+#   short clipped segments; sky-bound rays contribute nothing at all.
+# * **Dead-lane masking**: the bounce loop passes ``active = (throughput >
+#   0)``; absorbed/missed lanes drop out of the reach stats, and fully dead
+#   tiles skip every primitive (counts[t] = -1 gates walls/boxes too).
+#
+# Correctness: phase A only ever *discards* chunks whose AABB (inflated by
+# an f32-rounding margin) cannot contain any clipped-segment point, so the
+# fold stays bit-compatible with the brute-force kernels — asserted by
+# tests/test_pallas_fold.py on randomized scenes, rays, and masks.
+# ---------------------------------------------------------------------------
+
+_SL_R, _SL_C = 128, 128  # shortlist tile (same as the cull kernel)
+_AABB_PAD = 1e-3  # conservative inflation absorbing f32 rounding drift
+
+
+def _kernel_shortlist(n_w: int, n_b: int, wall_base: int, box_base: int,
+                      tiles_w: int, n_chunks: int):
+    """Fold kernel looping only over this tile's shortlisted sphere chunks."""
+
+    def kernel(
+        cx, cy, cz, cr2,
+        nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz, px, py, pz, ln, wd,
+        bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
+        chunk_list,  # [tiles * n_chunks] i32 candidate chunk ids (compacted)
+        counts,      # [tiles] i32: -1 dead tile, else shortlist length
+        ox, oy, oz, dx, dy, dz,
+        bt_ref, bi_ref,
+    ):
+        t = pl.program_id(0) * tiles_w + pl.program_id(1)
+        n = counts[t]
+
+        vox, voy, voz = ox[:], oy[:], oz[:]
+        vdx, vdy, vdz = dx[:], dy[:], dz[:]
+        oo = vox * vox + voy * voy + voz * voz
+        do = vdx * vox + vdy * voy + vdz * voz
+
+        best_t = jnp.full((_SL_R, _SL_C), MISS_T, jnp.float32)
+        best_i = jnp.full((_SL_R, _SL_C), -1, jnp.int32)
+
+        def sphere_one(idx, carry):
+            bt, bi = carry
+            s = vdx * cx[idx] + vdy * cy[idx] + vdz * cz[idx]
+            m = vox * cx[idx] + voy * cy[idx] + voz * cz[idx]
+            b_half = do - s
+            c_full = oo - 2.0 * m + cr2[idx]
+            disc = b_half * b_half - c_full
+            tt = -b_half - jnp.sqrt(jnp.maximum(disc, 0.0))
+            win = (disc >= 0.0) & (tt > 0.0) & (tt < bt)
+            return jnp.where(win, tt, bt), jnp.where(win, idx, bi)
+
+        def chunk_body(k, carry):
+            base = chunk_list[t * n_chunks + k] * _UNROLL
+            for u in range(_UNROLL):
+                carry = sphere_one(base + u, carry)
+            return carry
+
+        best_t, best_i = jax.lax.fori_loop(
+            0, jnp.maximum(n, 0), chunk_body, (best_t, best_i)
+        )
+
+        alive = n >= 0
+
+        def wall_one(i, carry):
+            bt, bi = carry
+            denom = vdx * nx[i] + vdy * ny[i] + vdz * nz[i]
+            num = dpl[i] - (vox * nx[i] + voy * ny[i] + voz * nz[i])
+            ok = jnp.abs(denom) > 1e-12
+            tt = num / jnp.where(ok, denom, 1.0)
+            relx = vox + vdx * tt - px[i]
+            rely = voy + vdy * tt - py[i]
+            relz = voz + vdz * tt - pz[i]
+            u = relx * rx[i] + rely * ry[i] + relz * rz[i]
+            v = relx * ux[i] + rely * uy[i] + relz * uz[i]
+            win = (
+                ok & (tt > 0.0)
+                & (u >= 0.0) & (u <= ln[i])
+                & (v >= 0.0) & (v <= wd[i])
+                & (tt < bt)
+            )
+            return jnp.where(win, tt, bt), jnp.where(win, wall_base + i, bi)
+
+        if n_w:
+            def wall_chunk(k, carry):
+                for u in range(_UNROLL):
+                    carry = wall_one(k * _UNROLL + u, carry)
+                return carry
+
+            best_t, best_i = jax.lax.fori_loop(
+                0, jnp.where(alive, n_w // _UNROLL, 0), wall_chunk,
+                (best_t, best_i),
+            )
+
+        if n_b:
+            def srecip(c):
+                ok = jnp.abs(c) > 1e-12
+                return jnp.where(
+                    ok, 1.0 / jnp.where(ok, c, 1.0),
+                    jnp.where(c >= 0.0, 1e30, -1e30),
+                )
+
+            ivx, ivy, ivz = srecip(vdx), srecip(vdy), srecip(vdz)
+
+            def box_one(i, carry):
+                bt, bi = carry
+                t1x, t2x = (bmnx[i] - vox) * ivx, (bmxx[i] - vox) * ivx
+                t1y, t2y = (bmny[i] - voy) * ivy, (bmxy[i] - voy) * ivy
+                t1z, t2z = (bmnz[i] - voz) * ivz, (bmxz[i] - voz) * ivz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                    jnp.minimum(t1z, t2z),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                    jnp.maximum(t1z, t2z),
+                )
+                win = (tn <= tf) & (tn > 0.0) & (tn < bt)
+                return jnp.where(win, tn, bt), jnp.where(win, box_base + i, bi)
+
+            def box_chunk(k, carry):
+                for u in range(_UNROLL):
+                    carry = box_one(k * _UNROLL + u, carry)
+                return carry
+
+            best_t, best_i = jax.lax.fori_loop(
+                0, jnp.where(alive, n_b // _UNROLL, 0), box_chunk,
+                (best_t, best_i),
+            )
+
+        bt_ref[:] = best_t
+        bi_ref[:] = best_i
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_w", "n_b", "wall_base", "box_base", "tiles_w",
+                     "n_chunks", "interpret"),
+)
+def _fold_shortlist(tables, chunk_list, counts, rays, *, n_w: int, n_b: int,
+                    wall_base: int, box_base: int, tiles_w: int,
+                    n_chunks: int, interpret: bool):
+    h, w = rays[0].shape
+    grid = (h // _SL_R, w // _SL_C)
+    spec = pl.BlockSpec(
+        (_SL_R, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=27,
+        grid=grid,
+        in_specs=[spec] * 6,
+        out_specs=(spec, spec),
+    )
+    return pl.pallas_call(
+        _kernel_shortlist(n_w, n_b, wall_base, box_base, tiles_w, n_chunks),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*tables, chunk_list, counts, *rays)
+
+
+def _tile_reduce(x, th, tw, op):
+    return op(x.reshape(th, _SL_R, tw, _SL_C), axis=(1, 3))
+
+
+def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
+                       n_chunks: int):
+    """Per-tile candidate chunk lists from slab-clipped reach boxes.
+
+    Returns ``(chunk_list [th*tw*n_chunks] i32, counts [th*tw] i32)``.
+    All inputs arrive stop-gradiented (the fold is selection-only).
+    """
+    ox, oy, oz, dx, dy, dz = rays
+    s = scene.spheres
+    n_s = len(s)
+
+    # Sphere-set AABB (the "slab" for planar scene layouts).
+    lo = jnp.min(s.center - s.radius[:, None], axis=0) - _AABB_PAD
+    hi = jnp.max(s.center + s.radius[:, None], axis=0) + _AABB_PAD
+
+    # Per-lane clip of the ray against the slab: any sphere hit point lies
+    # on the segment [max(t_en, 0), t_ex] (hit points are inside the AABB).
+    def axis_interval(o_c, d_c, lo_c, hi_c):
+        ok = jnp.abs(d_c) > 1e-12
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, d_c, 1.0),
+                        jnp.where(d_c >= 0.0, 1e30, -1e30))
+        t1, t2 = (lo_c - o_c) * inv, (hi_c - o_c) * inv
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    ex_lo, ex_hi = axis_interval(ox, dx, lo[0], hi[0])
+    ey_lo, ey_hi = axis_interval(oy, dy, lo[1], hi[1])
+    ez_lo, ez_hi = axis_interval(oz, dz, lo[2], hi[2])
+    t_en = jnp.maximum(jnp.maximum(ex_lo, ey_lo), ez_lo)
+    t_ex = jnp.minimum(jnp.minimum(ex_hi, ey_hi), ez_hi)
+    t0 = jnp.maximum(t_en, 0.0)
+    used = act & (t_ex >= t0) & (t_ex > 0.0)
+
+    BIG = jnp.float32(1e30)
+
+    def seg_minmax(o_c, d_c):
+        p1 = o_c + t0 * d_c
+        p2 = o_c + t_ex * d_c
+        p_lo = jnp.where(used, jnp.minimum(p1, p2), BIG)
+        p_hi = jnp.where(used, jnp.maximum(p1, p2), -BIG)
+        return (
+            _tile_reduce(p_lo, th, tw, jnp.min) - _AABB_PAD,
+            _tile_reduce(p_hi, th, tw, jnp.max) + _AABB_PAD,
+        )
+
+    rx_lo, rx_hi = seg_minmax(ox, dx)
+    ry_lo, ry_hi = seg_minmax(oy, dy)
+    rz_lo, rz_hi = seg_minmax(oz, dz)
+
+    # Chunk AABBs over the real spheres (pad entries masked out).
+    pad = n_chunks * _UNROLL - n_s
+    real = jnp.arange(n_chunks * _UNROLL) < n_s
+
+    def padded(x, fill):
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+        return x.reshape(n_chunks, _UNROLL)
+
+    c_lo, c_hi = [], []
+    for k in range(3):
+        cmin = jnp.where(real.reshape(n_chunks, _UNROLL),
+                         padded(s.center[:, k] - s.radius, 0.0), BIG)
+        cmax = jnp.where(real.reshape(n_chunks, _UNROLL),
+                         padded(s.center[:, k] + s.radius, 0.0), -BIG)
+        c_lo.append(cmin.min(axis=1) - _AABB_PAD)
+        c_hi.append(cmax.max(axis=1) + _AABB_PAD)
+
+    def overlap(r_lo, r_hi, k):
+        return (c_lo[k][None, None, :] <= r_hi[..., None]) & (
+            c_hi[k][None, None, :] >= r_lo[..., None]
+        )
+
+    accept = (
+        overlap(rx_lo, rx_hi, 0)
+        & overlap(ry_lo, ry_hi, 1)
+        & overlap(rz_lo, rz_hi, 2)
+    )  # [th, tw, n_chunks]
+
+    # Compact to ascending candidate lists (ascending order preserves the
+    # reference's lowest-index tie-break, main.cpp:77 strict '<').
+    idx = jnp.arange(n_chunks, dtype=jnp.int32)
+    keys = jnp.where(accept, idx, idx + n_chunks)
+    chunk_list = jnp.sort(keys, axis=-1).astype(jnp.int32)
+
+    alive = _tile_reduce(act, th, tw, jnp.any)
+    counts = jnp.where(alive, accept.sum(axis=-1).astype(jnp.int32), -1)
+    return chunk_list.reshape(-1), counts.reshape(-1)
+
+
+def fold_closest_pallas_shortlist(
+    scene: Scene, o: V3, d: V3, *, active=None, interpret: bool | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(min-t, argmin index) via the two-level shortlist fold.
+
+    Drop-in for the other folds (bit-compatible; culling is conservative).
+    ``active``: optional [H, W] bool — lanes whose result is unused (zero
+    path throughput); they are excluded from reach stats and may return
+    arbitrary miss records.
+    """
+    if interpret is None:
+        interpret = not pallas_available()
+    shape = jnp.broadcast_shapes(o.x.shape, d.x.shape)
+    h, w = shape
+    hp = -(-h // _SL_R) * _SL_R
+    wp = -(-w // _SL_C) * _SL_C
+
+    def prep(c, fill):
+        c = jnp.broadcast_to(c, shape)
+        if hp != h or wp != w:
+            c = jnp.pad(c, ((0, hp - h), (0, wp - w)), constant_values=fill)
+        return c
+
+    rays = (
+        prep(o.x, 0.0), prep(o.y, 0.0), prep(o.z, 0.0),
+        prep(d.x, 0.0), prep(d.y, 0.0), prep(d.z, 1.0),
+    )
+    if active is None:
+        act = jnp.ones((hp, wp), bool)
+        if hp != h or wp != w:
+            act = jnp.pad(
+                jnp.ones((h, w), bool), ((0, hp - h), (0, wp - w)),
+                constant_values=False,
+            )
+    else:
+        act = prep(active, False)
+
+    tables, counts_tbl = _packed_fold_tables(scene)
+    th, tw = hp // _SL_R, wp // _SL_C
+    n_chunks = counts_tbl["n_s_pad"] // _UNROLL if counts_tbl["n_s_pad"] else 0
+
+    if n_chunks == 0:
+        # No spheres: every tile folds walls/boxes brute-force (alive gate).
+        alive = _tile_reduce(act, th, tw, jnp.any)
+        chunk_list = jnp.zeros((th * tw,), jnp.int32)
+        counts = jnp.where(alive, 0, -1).astype(jnp.int32).reshape(-1)
+        n_chunks_eff = 1
+        chunk_list = jnp.zeros((th * tw * n_chunks_eff,), jnp.int32)
+    else:
+        chunk_list, counts = _shortlist_phase_a(
+            scene, rays, act, th, tw, n_chunks
+        )
+        n_chunks_eff = n_chunks
+
+    bt, bi = _fold_shortlist(
+        tables, chunk_list, counts, rays,
+        n_w=counts_tbl["n_w_pad"], n_b=counts_tbl["n_b_pad"],
+        wall_base=counts_tbl["n_s"],
+        box_base=counts_tbl["n_s"] + counts_tbl["n_w"],
+        tiles_w=tw, n_chunks=n_chunks_eff, interpret=interpret,
     )
     if hp != h or wp != w:
         bt, bi = bt[:h, :w], bi[:h, :w]

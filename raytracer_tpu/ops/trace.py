@@ -402,6 +402,7 @@ def closest_hit_soa(
     *,
     prim_unroll: int = 64,
     fold_fn: Callable | None = None,
+    active: jnp.ndarray | None = None,
 ) -> SoAHit:
     """Closest hit of each ray: gradient-free fold + differentiable regather.
 
@@ -409,13 +410,21 @@ def closest_hit_soa(
     primitive (default: the fused jnp fold; the Pallas kernel slots in
     here). It runs on stop-gradiented inputs; the winner's t, hit point,
     normal, and material are then recomputed/gathered differentiably.
+
+    ``active`` (optional bool mask, same shape as the rays): lanes with
+    zero path throughput — folds that understand it (the shortlist Pallas
+    fold) may skip work for them and return arbitrary miss records there.
     """
+    import inspect
+
     sg = jax.lax.stop_gradient
     scene_sg, o_sg, d_sg = jax.tree_util.tree_map(sg, (scene, o, d))
     if fold_fn is None:
         best_t, best_i = fold_closest_jnp(
             scene_sg, o_sg, d_sg, prim_unroll=prim_unroll
         )
+    elif active is not None and "active" in inspect.signature(fold_fn).parameters:
+        best_t, best_i = fold_fn(scene_sg, o_sg, d_sg, active=sg(active))
     else:
         best_t, best_i = fold_fn(scene_sg, o_sg, d_sg)
     if scene.num_primitives >= _MM_GATHER_MIN_PRIMS:
@@ -878,8 +887,15 @@ def resolve_fold_fn(fold: str, prim_unroll: int, num_prims: int) -> Callable | N
             else "jnp"
         )
     if fold == "pallas":
-        # Tile-coherent culling variant: bit-compatible with the flat kernel
-        # (culling is conservative) and faster on coherent primary tiles.
+        # Two-level shortlist fold: per-tile candidate chunk lists built in
+        # XLA from slab-clipped reach boxes + dead-lane masking; the kernel
+        # loops only over each tile's shortlist. Bit-compatible (culling is
+        # conservative).
+        from raytracer_tpu.ops.pallas_fold import fold_closest_pallas_shortlist
+
+        return fold_closest_pallas_shortlist
+    if fold == "pallas_cull":
+        # In-kernel reach-box chunk culling (the previous generation).
         from raytracer_tpu.ops.pallas_fold import fold_closest_pallas_cull
 
         return fold_closest_pallas_cull
@@ -910,32 +926,51 @@ def trace_soa(
     main.cpp:105-108) or ``w * sky`` on misses, then reflects. Python-level
     unroll: static depth, one XLA fusion end to end.
     """
+    import inspect
+
     if closest_hit_fn is None:
         fold_fn = resolve_fold_fn(fold, prim_unroll, scene.num_primitives)
 
-        def closest_hit_fn(sc, oo, dd):
+        def closest_hit_fn(sc, oo, dd, active=None):
             return closest_hit_soa(
-                sc, oo, dd, prim_unroll=prim_unroll, fold_fn=fold_fn
+                sc, oo, dd, prim_unroll=prim_unroll, fold_fn=fold_fn,
+                active=active,
             )
+
+    try:
+        accepts_active = "active" in inspect.signature(closest_hit_fn).parameters
+    except (TypeError, ValueError):
+        accepts_active = False
 
     shape = jnp.broadcast_shapes(o.x.shape, d.x.shape)
     o = V3(*[jnp.broadcast_to(c, shape) for c in o])
     w = jnp.ones(shape, jnp.float32)
     acc = V3.fill(shape, 0.0)
+    active = None  # level 0: every lane carries throughput
 
     for k in range(depth + 1):
-        rec = closest_hit_fn(scene, o, d)
+        if accepts_active:
+            rec = closest_hit_fn(scene, o, d, active=active)
+        else:
+            rec = closest_hit_fn(scene, o, d)
         local = shade_soa(rec, -d, scene.lights)
         sky = background_soa(d, scene.sky)
         is_last = k == depth
         hit_color = local if is_last else local * (1.0 - rec.metallic)
-        contrib = V3.where(rec.hit, hit_color, sky)
+        if active is None:
+            contrib = V3.where(rec.hit, hit_color, sky)
+        else:
+            # Inactive lanes may carry arbitrary fold results (the shortlist
+            # fold skips them); their w is exactly 0, but 0 * garbage must
+            # still be a clean 0, so force their contribution to the sky.
+            contrib = V3.where(rec.hit & active, hit_color, sky)
         acc = acc + contrib * w
         if not is_last:
             w = w * jnp.where(rec.hit, rec.metallic, 0.0)
             bounce_o = rec.point + rec.normal * _REFLECT_EPS
             o = V3.where(rec.hit, bounce_o, o)
             d = V3.where(rec.hit, d.reflect(rec.normal), d)
+            active = jax.lax.stop_gradient(w > 0.0)
     return acc
 
 
