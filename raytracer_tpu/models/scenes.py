@@ -173,10 +173,12 @@ def grid_sphere_scene(
         axis=-1,
     ).astype(np.float32)
     colors = rng.uniform(0.1, 1.0, size=(n, 3)).astype(np.float32)
-    spheres = Spheres.create(
-        center=centers,
-        radius=np.full((n,), radius, np.float32),
-        material=Materials.create(color=colors, metallic=metallic),
+    spheres = morton_sort_spheres(
+        Spheres.create(
+            center=centers,
+            radius=np.full((n,), radius, np.float32),
+            material=Materials.create(color=colors, metallic=metallic),
+        )
     )
     lights = Lights.create(
         point_position=[(0.0, 0.0, 0.0)],
@@ -201,10 +203,12 @@ def random_sphere_scene(n: int, *, extent: float = 12.0, seed: int = 0) -> Scene
     radii = rng.uniform(0.2, 0.8, n).astype(np.float32)
     colors = rng.uniform(0.05, 1.0, (n, 3)).astype(np.float32)
     metallic = rng.uniform(0.1, 0.9, n).astype(np.float32)
-    spheres = Spheres.create(
-        center=centers,
-        radius=radii,
-        material=Materials.create(color=colors, metallic=metallic),
+    spheres = morton_sort_spheres(
+        Spheres.create(
+            center=centers,
+            radius=radii,
+            material=Materials.create(color=colors, metallic=metallic),
+        )
     )
     lights = Lights.create(
         point_position=[(0.0, 0.0, 0.0)],
