@@ -592,20 +592,40 @@ def fold_closest_pallas_cull(
 # * **Dead-lane masking**: the bounce loop passes ``active = (throughput >
 #   0)``; absorbed/missed lanes drop out of the reach stats, and fully dead
 #   tiles skip every primitive (counts[t] = -1 gates walls/boxes too).
+# * **Best-t-aware per-ray tube gate** (phase B): the tile-union shortlist
+#   is hostage to its most divergent ray, so bounce tiles shortlist most of
+#   the scene. Before folding each shortlisted chunk, the kernel tests every
+#   ray's clipped segment [t0, min(t_ex, best_t)] against the chunk's
+#   bounding sphere (~12% of the chunk-fold cost) and lax.cond-skips chunks
+#   no alive ray can reach. best_t tightens as the fold proceeds, and phase
+#   A orders each tile's shortlist near-to-far, so this is a SIMD
+#   closest-hit traversal with early chunk rejection — no pointer chasing,
+#   no divergence.
 #
-# Correctness: phase A only ever *discards* chunks whose AABB (inflated by
-# an f32-rounding margin) cannot contain any clipped-segment point, so the
-# fold stays bit-compatible with the brute-force kernels — asserted by
-# tests/test_pallas_fold.py on randomized scenes, rays, and masks.
+# Correctness: both phases only ever *discard* chunks that (inflated by an
+# f32-rounding margin) cannot produce an improving hit for any alive ray,
+# and the sphere fold tie-breaks on the global index, so the fold stays
+# bit-compatible with the brute-force kernels regardless of traversal
+# order — asserted by tests/test_pallas_fold.py on randomized scenes, rays,
+# and masks.
 # ---------------------------------------------------------------------------
 
-_SL_R, _SL_C = 128, 128  # shortlist tile (same as the cull kernel)
+_SL_R, _SL_C = 64, 128  # shortlist tile (sweep on v5e: 64x128 beat 32/128-row
+                        # and 256-lane tiles — fewer divergent lanes per tile
+                        # means tighter shortlists + tube gates on bounces)
 _AABB_PAD = 1e-3  # conservative inflation absorbing f32 rounding drift
+_GATE_PAD = 1e-2  # bounding-sphere inflation for the in-kernel tube gate
 
 
 def _kernel_shortlist(n_w: int, n_b: int, wall_base: int, box_base: int,
                       tiles_w: int, n_chunks: int):
-    """Fold kernel looping only over this tile's shortlisted sphere chunks."""
+    """Fold kernel looping only over this tile's shortlisted sphere chunks.
+
+    Each shortlisted chunk is gated by a best-t-aware per-ray tube test
+    against the chunk's bounding sphere before its 8-sphere fold runs; the
+    sphere fold tie-breaks on the global index so the result is independent
+    of the (near-to-far sorted) traversal order.
+    """
 
     def kernel(
         cx, cy, cz, cr2,
@@ -613,7 +633,9 @@ def _kernel_shortlist(n_w: int, n_b: int, wall_base: int, box_base: int,
         bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
         chunk_list,  # [tiles * n_chunks] i32 candidate chunk ids (compacted)
         counts,      # [tiles] i32: -1 dead tile, else shortlist length
-        ox, oy, oz, dx, dy, dz,
+        gx, gy, gz, gg, gr2,  # chunk bounding spheres: center, |c|^2, (r+pad)^2
+        slab,        # [8] f32: sphere-set AABB lo.xyz, hi.xyz (+2 pad)
+        ox, oy, oz, dx, dy, dz, amask,
         bt_ref, bi_ref,
     ):
         t = pl.program_id(0) * tiles_w + pl.program_id(1)
@@ -623,6 +645,30 @@ def _kernel_shortlist(n_w: int, n_b: int, wall_base: int, box_base: int,
         vdx, vdy, vdz = dx[:], dy[:], dz[:]
         oo = vox * vox + voy * voy + voz * voz
         do = vdx * vox + vdy * voy + vdz * voz
+
+        # Per-ray slab clip (same intervals as phase A): any sphere hit lies
+        # on [t0, t_ex]. Lanes that miss the slab or are masked dead can
+        # never improve on any chunk — they drop out of the gate entirely.
+        def srecip(c):
+            ok = jnp.abs(c) > 1e-12
+            return jnp.where(
+                ok, 1.0 / jnp.where(ok, c, 1.0),
+                jnp.where(c >= 0.0, 1e30, -1e30),
+            )
+
+        def axis_iv(o_c, d_c, lo_c, hi_c):
+            inv = srecip(d_c)
+            t1, t2 = (lo_c - o_c) * inv, (hi_c - o_c) * inv
+            return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+        ex_lo, ex_hi = axis_iv(vox, vdx, slab[0], slab[3])
+        ey_lo, ey_hi = axis_iv(voy, vdy, slab[1], slab[4])
+        ez_lo, ez_hi = axis_iv(voz, vdz, slab[2], slab[5])
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.maximum(ex_lo, ey_lo), ez_lo), 0.0
+        )
+        t_ex = jnp.minimum(jnp.minimum(ex_hi, ey_hi), ez_hi)
+        seg_ok = (amask[:] > 0.0) & (t_ex >= t0) & (t_ex > 0.0)
 
         best_t = jnp.full((_SL_R, _SL_C), MISS_T, jnp.float32)
         best_i = jnp.full((_SL_R, _SL_C), -1, jnp.int32)
@@ -635,14 +681,32 @@ def _kernel_shortlist(n_w: int, n_b: int, wall_base: int, box_base: int,
             c_full = oo - 2.0 * m + cr2[idx]
             disc = b_half * b_half - c_full
             tt = -b_half - jnp.sqrt(jnp.maximum(disc, 0.0))
-            win = (disc >= 0.0) & (tt > 0.0) & (tt < bt)
+            win = (disc >= 0.0) & (tt > 0.0) & (
+                (tt < bt) | ((tt == bt) & (idx < bi))
+            )
             return jnp.where(win, tt, bt), jnp.where(win, idx, bi)
 
         def chunk_body(k, carry):
-            base = chunk_list[t * n_chunks + k] * _UNROLL
-            for u in range(_UNROLL):
-                carry = sphere_one(base + u, carry)
-            return carry
+            bt, bi = carry
+            c = chunk_list[t * n_chunks + k]
+            base = c * _UNROLL
+            # Tube gate: min distance^2 from the chunk's bounding sphere
+            # center to each ray's live segment [t0, min(t_ex, best_t)].
+            s_g = vdx * gx[c] + vdy * gy[c] + vdz * gz[c]
+            m_g = vox * gx[c] + voy * gy[c] + voz * gz[c]
+            t1 = jnp.minimum(t_ex, bt)
+            tc = jnp.clip(s_g - do, t0, t1)
+            dist2 = oo - 2.0 * m_g + gg[c] + tc * (2.0 * (do - s_g) + tc)
+            reachable = seg_ok & (t1 >= t0) & (dist2 <= gr2[c])
+
+            def do_chunk(cr):
+                for u in range(_UNROLL):
+                    cr = sphere_one(base + u, cr)
+                return cr
+
+            return jax.lax.cond(
+                jnp.any(reachable), do_chunk, lambda cr: cr, (bt, bi)
+            )
 
         best_t, best_i = jax.lax.fori_loop(
             0, jnp.maximum(n, 0), chunk_body, (best_t, best_i)
@@ -727,18 +791,18 @@ def _kernel_shortlist(n_w: int, n_b: int, wall_base: int, box_base: int,
     static_argnames=("n_w", "n_b", "wall_base", "box_base", "tiles_w",
                      "n_chunks", "interpret"),
 )
-def _fold_shortlist(tables, chunk_list, counts, rays, *, n_w: int, n_b: int,
-                    wall_base: int, box_base: int, tiles_w: int,
-                    n_chunks: int, interpret: bool):
+def _fold_shortlist(tables, chunk_list, counts, gtables, slab, rays, *,
+                    n_w: int, n_b: int, wall_base: int, box_base: int,
+                    tiles_w: int, n_chunks: int, interpret: bool):
     h, w = rays[0].shape
     grid = (h // _SL_R, w // _SL_C)
     spec = pl.BlockSpec(
         (_SL_R, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=27,
+        num_scalar_prefetch=33,
         grid=grid,
-        in_specs=[spec] * 6,
+        in_specs=[spec] * 7,
         out_specs=(spec, spec),
     )
     return pl.pallas_call(
@@ -749,7 +813,7 @@ def _fold_shortlist(tables, chunk_list, counts, rays, *, n_w: int, n_b: int,
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(*tables, chunk_list, counts, *rays)
+    )(*tables, chunk_list, counts, *gtables, slab, *rays)
 
 
 def _tile_reduce(x, th, tw, op):
@@ -760,7 +824,11 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
                        n_chunks: int):
     """Per-tile candidate chunk lists from slab-clipped reach boxes.
 
-    Returns ``(chunk_list [th*tw*n_chunks] i32, counts [th*tw] i32)``.
+    Returns ``(chunk_list [th*tw*n_chunks] i32, counts [th*tw] i32,
+    gtables, slab)`` where ``gtables = (gx, gy, gz, gg, gr2)`` are the
+    per-chunk bounding spheres for the kernel's tube gate and ``slab`` is
+    the padded sphere-set AABB. Each tile's shortlist is sorted near-to-far
+    from the tile's segment-start centroid so best_t tightens early.
     All inputs arrive stop-gradiented (the fold is selection-only).
     """
     ox, oy, oz, dx, dy, dz = rays
@@ -813,12 +881,11 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
             x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
         return x.reshape(n_chunks, _UNROLL)
 
+    real_m = real.reshape(n_chunks, _UNROLL)
     c_lo, c_hi = [], []
     for k in range(3):
-        cmin = jnp.where(real.reshape(n_chunks, _UNROLL),
-                         padded(s.center[:, k] - s.radius, 0.0), BIG)
-        cmax = jnp.where(real.reshape(n_chunks, _UNROLL),
-                         padded(s.center[:, k] + s.radius, 0.0), -BIG)
+        cmin = jnp.where(real_m, padded(s.center[:, k] - s.radius, 0.0), BIG)
+        cmax = jnp.where(real_m, padded(s.center[:, k] + s.radius, 0.0), -BIG)
         c_lo.append(cmin.min(axis=1) - _AABB_PAD)
         c_hi.append(cmax.max(axis=1) + _AABB_PAD)
 
@@ -833,15 +900,48 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
         & overlap(rz_lo, rz_hi, 2)
     )  # [th, tw, n_chunks]
 
-    # Compact to ascending candidate lists (ascending order preserves the
-    # reference's lowest-index tie-break, main.cpp:77 strict '<').
-    idx = jnp.arange(n_chunks, dtype=jnp.int32)
-    keys = jnp.where(accept, idx, idx + n_chunks)
-    chunk_list = jnp.sort(keys, axis=-1).astype(jnp.int32)
+    # Chunk bounding spheres for the kernel's tube gate: AABB midpoint
+    # center, exact max member reach as radius (+_GATE_PAD for f32 drift
+    # in the kernel's distance polynomial). Empty-pad chunks get r = -1 so
+    # the gate always rejects them (they never appear in shortlists anyway).
+    gx = 0.5 * (c_lo[0] + c_hi[0])
+    gy = 0.5 * (c_lo[1] + c_hi[1])
+    gz = 0.5 * (c_lo[2] + c_hi[2])
+    member_reach = jnp.sqrt(
+        (padded(s.center[:, 0], 0.0) - gx[:, None]) ** 2
+        + (padded(s.center[:, 1], 0.0) - gy[:, None]) ** 2
+        + (padded(s.center[:, 2], 0.0) - gz[:, None]) ** 2
+    ) + padded(s.radius, 0.0)
+    gr = jnp.max(jnp.where(real_m, member_reach, -1.0), axis=1)
+    chunk_nonempty = jnp.any(real_m, axis=1)
+    gr2 = jnp.where(chunk_nonempty, (gr + _GATE_PAD) ** 2, -1.0)
+    gtables = (gx, gy, gz, gx * gx + gy * gy + gz * gz, gr2)
+    slab = jnp.concatenate([lo, hi, jnp.zeros((2,), jnp.float32)])
+
+    # Near-to-far shortlist: sort accepted chunk ids by the distance from
+    # the tile's segment-start centroid to the chunk's bounding sphere.
+    # Rejected chunks sort to the tail via +BIG keys. Correct for any order
+    # (the kernel tie-breaks on the global index); near-first just makes
+    # best_t tighten early so the tube gate rejects the far tail.
+    cnt = jnp.maximum(_tile_reduce(used.astype(jnp.float32), th, tw, jnp.sum),
+                      1.0)
+
+    def centroid(o_c, d_c):
+        p0 = jnp.where(used, o_c + t0 * d_c, 0.0)
+        return _tile_reduce(p0, th, tw, jnp.sum) / cnt
+
+    px0, py0, pz0 = centroid(ox, dx), centroid(oy, dy), centroid(oz, dz)
+    dist = jnp.sqrt(
+        (px0[..., None] - gx) ** 2
+        + (py0[..., None] - gy) ** 2
+        + (pz0[..., None] - gz) ** 2
+    ) - gr
+    order = jnp.argsort(jnp.where(accept, dist, BIG), axis=-1)
+    chunk_list = order.astype(jnp.int32)
 
     alive = _tile_reduce(act, th, tw, jnp.any)
     counts = jnp.where(alive, accept.sum(axis=-1).astype(jnp.int32), -1)
-    return chunk_list.reshape(-1), counts.reshape(-1)
+    return chunk_list.reshape(-1), counts.reshape(-1), gtables, slab
 
 
 def fold_closest_pallas_shortlist(
@@ -888,18 +988,22 @@ def fold_closest_pallas_shortlist(
     if n_chunks == 0:
         # No spheres: every tile folds walls/boxes brute-force (alive gate).
         alive = _tile_reduce(act, th, tw, jnp.any)
-        chunk_list = jnp.zeros((th * tw,), jnp.int32)
         counts = jnp.where(alive, 0, -1).astype(jnp.int32).reshape(-1)
         n_chunks_eff = 1
         chunk_list = jnp.zeros((th * tw * n_chunks_eff,), jnp.int32)
+        gtables = tuple(jnp.zeros((1,), jnp.float32) for _ in range(4)) + (
+            jnp.full((1,), -1.0, jnp.float32),
+        )
+        slab = jnp.zeros((8,), jnp.float32)
     else:
-        chunk_list, counts = _shortlist_phase_a(
+        chunk_list, counts, gtables, slab = _shortlist_phase_a(
             scene, rays, act, th, tw, n_chunks
         )
         n_chunks_eff = n_chunks
 
     bt, bi = _fold_shortlist(
-        tables, chunk_list, counts, rays,
+        tables, chunk_list, counts, gtables, slab,
+        rays + (act.astype(jnp.float32),),
         n_w=counts_tbl["n_w_pad"], n_b=counts_tbl["n_b_pad"],
         wall_base=counts_tbl["n_s"],
         box_base=counts_tbl["n_s"] + counts_tbl["n_w"],

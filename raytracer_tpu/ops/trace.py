@@ -541,16 +541,19 @@ def _onehot_matmul_gather(table: jnp.ndarray, idx: jnp.ndarray) -> list:
     oh = (flat[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]).astype(
         jnp.float32
     )
-    # Precision.HIGHEST: the TPU default matmul precision would round the
-    # table through bf16 (measured 3.9e-3 abs error on O(1) geometry values),
-    # skewing every >=32-prim hit record AND making the custom-VJP backward
-    # differentiate a not-value-identical function. The matmul is
-    # bandwidth-bound, so full precision costs nothing.
+    # Per-operand precision: the one-hot operand is exactly representable in
+    # bf16 (0/1), so only the table needs the f32 bf16-triple split — the
+    # result is still EXACT (each one-hot row sums one table entry's split:
+    # hi + mid + lo == value; verified maxerr 0.0 vs HIGHEST on the v5e),
+    # at half the MXU passes. Plain DEFAULT would round the table through
+    # bf16 (measured 3.9e-3 abs error on O(1) geometry values), skewing
+    # every >=32-prim hit record AND making the custom-VJP backward
+    # differentiate a not-value-identical function.
     attrs = jnp.dot(
         oh,
         table,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST),
     )  # [P, D]
     return [attrs[:, k].reshape(idx.shape) for k in range(table.shape[1])]
 
