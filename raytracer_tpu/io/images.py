@@ -17,7 +17,7 @@ import numpy as np
 
 from raytracer_tpu.io.native import load_native
 
-__all__ = ["save_image", "save_png", "save_ppm", "save_npy", "to_u8"]
+__all__ = ["save_image", "save_png", "save_ppm", "save_npy", "load_image", "to_u8"]
 
 
 def to_u8(img) -> np.ndarray:
@@ -65,6 +65,38 @@ def save_npy(path, img) -> Path:
     path = Path(path)
     np.save(path, np.asarray(img))
     return path
+
+
+def load_image(path) -> np.ndarray:
+    """Load a .ppm (binary P6, no deps) or .png (PIL) as [H, W, 3] uint8.
+
+    Used by the golden-image comparison against the reference tracer's own
+    framebuffer (tools/ref_harness/, tests/test_golden_reference.py).
+    """
+    path = Path(path)
+    if path.suffix.lower() == ".ppm":
+        with open(path, "rb") as f:
+            data = f.read()
+        # P6 header: magic, width, height, maxval — whitespace/comment tolerant.
+        tokens, pos = [], 0
+        while len(tokens) < 4:
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":
+                pos = data.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(data[start:pos])
+        if tokens[0] != b"P6" or int(tokens[3]) != 255:
+            raise ValueError(f"unsupported PPM: {tokens}")
+        w, h = int(tokens[1]), int(tokens[2])
+        pix = np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos + 1)
+        return pix.reshape(h, w, 3).copy()
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
 
 
 def save_image(path, img) -> Path:
