@@ -59,15 +59,72 @@ def main() -> None:
 
     rays_per_s = WIDTH * HEIGHT / dt
 
-    # Secondary metric (BASELINE.json): backward/forward wall-time ratio on
-    # the differentiable-fit parameterization, at a size that compiles fast.
-    # Never let the secondary metric break the headline line.
-    try:
-        from raytracer_tpu.utils.profiler import benchmark_forward_backward
+    # Secondary metrics, each guarded so it can never break the headline
+    # line, and budgeted so a relay stall can't starve the driver of the
+    # artifact. bwd/fwd is measured WHERE IT HURTS (VERDICT r1 item 5):
+    # the flagship 1080p/3-bounce frame on both the <32-prim custom-VJP
+    # path (demo scene) and the >=32-prim mm-gather path (grid-64), plus
+    # large-scene frame times (1024 spheres at 1080p/3 and the c5 4K/4).
+    import os
 
-        fb = benchmark_forward_backward(scene, camera, 640, 480, depth=1, iters=5)
-    except Exception:
-        fb = {"bwd_fwd_ratio": float("nan")}
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    start = time.perf_counter()
+    extras: dict = {}
+
+    def within_budget() -> bool:
+        return time.perf_counter() - start < budget_s
+
+    def extra(key, fn):
+        if not within_budget():
+            return
+        try:
+            extras[key] = fn()
+        except Exception:
+            extras[key] = float("nan")
+
+    from raytracer_tpu.utils.profiler import (
+        benchmark_forward_backward,
+        benchmark_render,
+    )
+
+    extra(
+        "bwd_fwd_ratio",  # flagship: 3-prim demo, custom-VJP take backward
+        lambda: round(
+            benchmark_forward_backward(
+                scene, camera, WIDTH, HEIGHT, depth=DEPTH, iters=3
+            )["bwd_fwd_ratio"],
+            3,
+        ),
+    )
+    grid64 = scenes.grid_sphere_scene(64)
+    extra(
+        "bwd_fwd_ratio_grid64",  # >=32 prims: the mm-gather backward
+        lambda: round(
+            benchmark_forward_backward(
+                grid64, camera, WIDTH, HEIGHT, depth=DEPTH, iters=3
+            )["bwd_fwd_ratio"],
+            3,
+        ),
+    )
+    grid1024 = scenes.grid_sphere_scene(1024)
+    extra(
+        "frame_ms_1024sphere_1080p_d3",  # VERDICT r1 item 1 artifact
+        lambda: round(
+            benchmark_render(
+                grid1024, camera, WIDTH, HEIGHT, depth=DEPTH, iters=5
+            )["frame_ms"],
+            2,
+        ),
+    )
+    extra(
+        "frame_ms_c5_4k_1024sphere_d4",  # BASELINE config 5 artifact
+        lambda: round(
+            benchmark_render(
+                grid1024, camera, 3840, 2160, depth=4, iters=3
+            )["frame_ms"],
+            2,
+        ),
+    )
 
     print(
         json.dumps(
@@ -77,8 +134,8 @@ def main() -> None:
                 "unit": "rays/s",
                 "vs_baseline": rays_per_s / BASELINE_RAYS_PER_CHIP,
                 "frame_ms": dt * 1e3,
-                "bwd_fwd_ratio": round(fb["bwd_fwd_ratio"], 3),
                 "chips": n_chips,
+                **extras,
             }
         )
     )

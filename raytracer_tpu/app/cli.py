@@ -41,6 +41,12 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--depth", type=int, help="reflection bounces")
         sp.add_argument("--fold", choices=["auto", "jnp", "pallas"])
         sp.add_argument("--no-tonemap", action="store_true")
+        sp.add_argument(
+            "--mesh", default=None, metavar="PX,PRIM|auto|none",
+            help="shard over a device mesh: 'auto' (all local devices on "
+            "the pixel axis), 'PX,PRIM' (explicit shape), 'none' (override "
+            "a config's mesh to single-device)",
+        )
 
     r = sub.add_parser("render", help="render one frame to an image file")
     add_scene_flags(r)
@@ -90,6 +96,15 @@ def _config_from_args(args) -> RenderConfig:
         cfg = cfg.replace(tonemap=False)
     if getattr(args, "depth_only", False):
         cfg = cfg.replace(depth_only=True)
+    if getattr(args, "mesh", None) is not None:
+        m = args.mesh.strip().lower()
+        if m == "none":
+            cfg = cfg.replace(mesh=None)
+        elif m == "auto":
+            cfg = cfg.replace(mesh="auto")
+        else:
+            px, prim = (int(v) for v in m.split(","))
+            cfg = cfg.replace(mesh=(px, prim))
     return cfg
 
 
@@ -99,6 +114,7 @@ def cmd_render(args) -> int:
 
     cfg = _config_from_args(args)
     scene, camera = cfg.build_scene(), cfg.build_camera()
+    mesh = cfg.build_mesh()
     t0 = time.perf_counter()
     if cfg.depth_only:
         depth_map = np.asarray(
@@ -110,6 +126,15 @@ def cmd_render(args) -> int:
             finite, 1.0 - (depth_map - depth_map[finite].min()) / max(span, 1e-6), 0.0
         )
         img = np.repeat(viz[..., None], 3, axis=-1)
+    elif mesh is not None:
+        from raytracer_tpu.parallel.render import render_sharded
+
+        img = np.asarray(
+            render_sharded(
+                scene, camera, cfg.width, cfg.height, mesh=mesh,
+                depth=cfg.depth, tonemap=cfg.tonemap, fold=cfg.fold,
+            )
+        )
     else:
         img = np.asarray(
             render(
@@ -118,7 +143,10 @@ def cmd_render(args) -> int:
             )
         )
     out = save_image(args.output, img)
-    print(f"{cfg.name}: {cfg.width}x{cfg.height} depth={cfg.depth} "
+    mesh_note = (
+        f" mesh={'x'.join(str(s) for s in mesh.devices.shape)}" if mesh else ""
+    )
+    print(f"{cfg.name}: {cfg.width}x{cfg.height} depth={cfg.depth}{mesh_note} "
           f"-> {out}  ({time.perf_counter() - t0:.2f}s inc. compile)")
     return 0
 
@@ -131,16 +159,20 @@ def cmd_bench(args) -> int:
 
     cfg = _config_from_args(args)
     scene, camera = cfg.build_scene(), cfg.build_camera()
+    mesh = cfg.build_mesh()
     res = benchmark_render(
         scene, camera, cfg.width, cfg.height,
         depth=cfg.depth, iters=args.iters, fold=cfg.fold, tonemap=cfg.tonemap,
+        mesh=mesh,
     )
     res["config"] = cfg.name
+    if mesh is not None:
+        res["mesh"] = "x".join(str(s) for s in mesh.devices.shape)
     if args.fwd_bwd:
         res.update(
             benchmark_forward_backward(
                 scene, camera, cfg.width, cfg.height,
-                depth=min(cfg.depth, 2), fold=cfg.fold,
+                depth=min(cfg.depth, 2), fold=cfg.fold, mesh=mesh,
             )
         )
     print(json.dumps(res))
@@ -153,6 +185,12 @@ def cmd_fit(args) -> int:
     if args.config is None and args.scene is None:
         args.config = "c4-fit-64sphere"  # the BASELINE fit workload
     cfg = _config_from_args(args)
+    if args.config is None and args.depth is None:
+        # Ad-hoc fits default to ONE differentiable bounce: the soft
+        # renderer unrolls `depth` full passes per gradient step and XLA's
+        # compile time grows steeply with the recursion (the render
+        # default of 3 is a pathological soft-fit compile).
+        cfg = cfg.replace(depth=1)
     return run_fit(
         cfg,
         steps=args.steps,

@@ -35,8 +35,27 @@ class RenderConfig:
     fit: bool = False
     fit_steps: int = 200
     fit_lr: float = 2e-2
-    # multi-device mesh (px, prim); None = single device
-    mesh: tuple[int, int] | None = None
+    # multi-device mesh: (px, prim), "auto" (all local devices on the px
+    # axis when more than one is present), or None = single device
+    mesh: tuple[int, int] | str | None = None
+
+    def build_mesh(self):
+        """Resolve the mesh spec to a ``jax.sharding.Mesh`` (or None)."""
+        if self.mesh is None:
+            return None
+        import jax
+
+        from raytracer_tpu.parallel.hosts import slice_mesh
+
+        if self.mesh == "auto":
+            return slice_mesh() if jax.device_count() > 1 else None
+        px, prim = self.mesh
+        mesh = slice_mesh(prim=prim)
+        if px is not None and mesh.shape["px"] != px:
+            raise ValueError(
+                f"mesh {px}x{prim} != {jax.device_count()} devices"
+            )
+        return mesh
 
     def build_scene(self) -> Scene:
         factory = {
@@ -82,8 +101,11 @@ BASELINE_CONFIGS: dict[str, RenderConfig] = {
         ),
         RenderConfig(
             name="c5-4k-1024sphere",
+            # BASELINE: "multi-host pixel-tile sharding" — the mesh resolves
+            # to every local device (px axis) when more than one is present,
+            # single-chip otherwise.
             scene="grid", scene_args={"n": 1024},
-            width=3840, height=2160, depth=4, mesh=None,
+            width=3840, height=2160, depth=4, mesh="auto",
         ),
     ]
 }

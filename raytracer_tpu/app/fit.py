@@ -1,9 +1,11 @@
 """Differentiable-fit driver (BASELINE config 4).
 
 Self-contained inverse-rendering demo: render a target image of the true
-scene, perturb sphere centers/colors, then recover them by Adam through the
-soft-visibility renderer (diff/soft.py — hard argmin visibility has no
-silhouette gradients). Checkpoints optimizer state every few steps
+scene with the HARD renderer (the production forward path — the target is
+NOT produced by the model being fitted), perturb sphere centers/colors,
+then recover them by Adam through the soft-visibility renderer
+(diff/soft.py — hard argmin visibility has no silhouette gradients), at the
+config's reflection depth. Checkpoints optimizer state every few steps
 (utils/checkpoint.py) and exports target/initial/final frames.
 """
 
@@ -46,7 +48,13 @@ def run_fit(
 
     truth = cfg.build_scene()
     camera = cfg.build_camera()
-    target = render_soft(truth, camera, w, h, tau=soft_tau, tonemap=cfg.tonemap)
+    # The target comes from the hard renderer — recovering geometry from an
+    # image the soft model did NOT produce is the actual inverse-rendering
+    # capability (the soft render converges to hard as tau -> 0).
+    from raytracer_tpu.render.integrator import render
+
+    depth = cfg.depth
+    target = render(truth, camera, w, h, depth=depth, tonemap=cfg.tonemap)
     save_png(out_dir / "target.png", np.asarray(target))
 
     rng = np.random.default_rng(0)
@@ -77,7 +85,8 @@ def run_fit(
     def step_fn(state):
         def loss_fn(p):
             img = render_soft(
-                apply(truth, p), camera, w, h, tau=soft_tau, tonemap=cfg.tonemap
+                apply(truth, p), camera, w, h, tau=soft_tau,
+                tonemap=cfg.tonemap, depth=depth,
             )
             return jnp.mean((img - target) ** 2)
 
@@ -91,7 +100,7 @@ def run_fit(
         np.asarray(
             render_soft(
                 apply(truth, state["params"]), camera, w, h,
-                tau=soft_tau, tonemap=cfg.tonemap,
+                tau=soft_tau, tonemap=cfg.tonemap, depth=depth,
             )
         ),
     )
@@ -123,7 +132,7 @@ def run_fit(
         np.asarray(
             render_soft(
                 apply(truth, state["params"]), camera, w, h,
-                tau=soft_tau, tonemap=cfg.tonemap,
+                tau=soft_tau, tonemap=cfg.tonemap, depth=depth,
             )
         ),
     )

@@ -17,7 +17,16 @@ relaxation of the intersection/occlusion pipeline:
 * **background**: primitives union-composite with coverage
   ``A = 1 - prod(1 - alpha_i)`` over the sky (main.cpp:28-37);
 * **shading**: full Blinn-Phong at each primitive's own soft hit point
-  (same math as ops/trace.py), blended by the soft weights.
+  (same math as ops/trace.py), blended by the soft weights;
+* **reflections** (``depth > 0``): the reference's recursive mirror blend
+  ``lerp(local, reflected, metallic)`` (main.cpp:111-117) made smooth by
+  aggregating ONE expected reflection ray per pixel: the same softmax
+  weights that blend colors also blend hit points, normals and metallic
+  into an expected surface, the ray mirrors about it (eps-offset origin,
+  main.cpp:111), and the composite adds ``sum_i w_i local_i (1 - m_i) +
+  m_hat * C_reflected``. As ``tau -> 0`` the weights become one-hot, the
+  expected surface IS the winner's surface, and the recursion converges to
+  the hard bounce loop (ops/trace.py trace_soa).
 
 Both passes stream over primitives (flash-attention-style running
 logsumexp), so memory is O(1) in primitive count. As ``tau -> 0`` the
@@ -170,6 +179,7 @@ def _sphere_param_chunks(spheres, unroll: int):
         "colb": prep(mat.color[:, 2], 0.0), "amb": prep(mat.ambient, 0.0),
         "kd": prep(mat.diffuse, 0.0), "ks": prep(mat.specular, 0.0),
         "exp": prep(mat.specular_exponent, 1.0),
+        "met": prep(mat.metallic, 0.0),
     }
 
 
@@ -218,8 +228,15 @@ def trace_soft(
     *,
     tau: float = 0.02,
     tau_z: float = 0.05,
+    depth: int = 0,
 ) -> V3:
-    """Softly-composited radiance per ray (primary visibility)."""
+    """Softly-composited radiance per ray.
+
+    ``depth`` reflection bounces (reference: recursive_ray_tracing,
+    main.cpp:89-119): each level aggregates an expected surface from the
+    softmax weights and recurses along ONE mirrored ray per pixel (see the
+    module docstring). ``depth=0`` is primary visibility only.
+    """
     shape = jnp.broadcast_shapes(o.x.shape, d.x.shape)
     o = V3(*[jnp.broadcast_to(c, shape) for c in o])
     view = -d
@@ -230,11 +247,21 @@ def trace_soft(
     tab = _wall_tables(walls) if len(walls) else None
     scan_spheres = n_s > _SOFT_UNROLL_MAX
     sg = jax.lax.stop_gradient
+    # depth > 0 additionally aggregates the expected surface (hit point,
+    # normal, metallic and the metallic-weighted color) under the same
+    # softmax weights; depth == 0 keeps the lean color-only payload.
+    want_surface = depth > 0
+
+    def payload_of(col, point, n, met):
+        if not want_surface:
+            return {"col": col}
+        return {"col": col, "colmet": col * met, "met": met,
+                "point": point, "normal": n}
 
     def fold_ref(t_ref, alpha, t):
         return jnp.minimum(t_ref, jnp.where(alpha > _ALPHA_REF, t, _FAR))
 
-    def fold_in(carry, alpha, t, col, t_ref):
+    def fold_in(carry, alpha, t, payload, t_ref):
         m, s, acc, log_transmit = carry
         logit = jnp.log(alpha + _LOG_EPS) - jnp.maximum(t - t_ref, 0.0) / tau_z
         m_new = jnp.maximum(m, logit)
@@ -243,7 +270,7 @@ def trace_soft(
         return (
             m_new,
             s * scale + e,
-            acc * scale + col * e,
+            jax.tree_util.tree_map(lambda a, p: a * scale + p * e, acc, payload),
             log_transmit + jnp.log1p(-jnp.minimum(alpha, 1.0 - 1e-7)),
         )
 
@@ -256,7 +283,7 @@ def trace_soft(
             point, n, -dd, V3(params["colr"], params["colg"], params["colb"]),
             params["amb"], params["kd"], params["ks"], params["exp"], lights,
         )
-        return alpha, t, col
+        return alpha, t, payload_of(col, point, n, params["met"])
 
     # Pass 1 (stop-grad): hard front depth t_ref per ray — the softmax anchor.
     t_ref = (o.x + d.x) * 0.0 + _FAR  # vma-stable carry init under shard_map
@@ -291,11 +318,18 @@ def trace_soft(
     t_ref = sg(t_ref)
 
     # Pass 2: streaming depth-softmax of shaded colors + union coverage.
+    sky = background_soa(d, scene.sky)
+    if n_s + len(walls) + len(scene.boxes) == 0:
+        return sky
+
     zero = (o.x + d.x) * 0.0
+    zero_payload = payload_of(
+        V3(zero, zero, zero), V3(zero, zero, zero), V3(zero, zero, zero), zero
+    )
     carry = (
         zero - jnp.inf,  # running max logit
         zero,  # running exp-sum
-        V3(zero, zero, zero),  # running weighted color
+        zero_payload,  # running weighted payload
         zero,  # sum log(1 - alpha)
     )
     if scan_spheres:
@@ -304,8 +338,8 @@ def trace_soft(
         def body(carry, chunk):
             for u in range(_SOFT_UNROLL):
                 p = {key: val[u] for key, val in chunk.items()}
-                alpha, t, col = sphere_shade(p, o, d)
-                carry = fold_in(carry, alpha, t, col, t_ref)
+                alpha, t, payload = sphere_shade(p, o, d)
+                carry = fold_in(carry, alpha, t, payload, t_ref)
             return carry, None
 
         carry, _ = jax.lax.scan(body, carry, chunks)
@@ -318,7 +352,8 @@ def trace_soft(
                 mat.diffuse[i], mat.specular[i], mat.specular_exponent[i],
                 lights,
             )
-            carry = fold_in(carry, alpha, t, col, t_ref)
+            payload = payload_of(col, point, n, mat.metallic[i])
+            carry = fold_in(carry, alpha, t, payload, t_ref)
     for i in range(len(walls)):
         alpha, t, point, n = _wall_alpha_t(tab, i, o, d, tau)
         mat = walls.material
@@ -326,7 +361,8 @@ def trace_soft(
             point, n, view, V3.from_stacked(mat.color[i]), mat.ambient[i],
             mat.diffuse[i], mat.specular[i], mat.specular_exponent[i], lights,
         )
-        carry = fold_in(carry, alpha, t, col, t_ref)
+        carry = fold_in(carry, alpha, t, payload_of(col, point, n, mat.metallic[i]),
+                        t_ref)
     for i in range(len(scene.boxes)):
         alpha, t, point, n = _box_alpha_t(scene, i, o, d, tau)
         mat = scene.boxes.material
@@ -334,19 +370,40 @@ def trace_soft(
             point, n, view, V3.from_stacked(mat.color[i]), mat.ambient[i],
             mat.diffuse[i], mat.specular[i], mat.specular_exponent[i], lights,
         )
-        carry = fold_in(carry, alpha, t, col, t_ref)
-
-    sky = background_soa(d, scene.sky)
-    if n_s + len(walls) + len(scene.boxes) == 0:
-        return sky
+        carry = fold_in(carry, alpha, t, payload_of(col, point, n, mat.metallic[i]),
+                        t_ref)
 
     m, s, acc, log_transmit = carry
     coverage = 1.0 - jnp.exp(log_transmit)  # union of all alphas
-    fg = acc * (1.0 / jnp.maximum(s, 1e-30))
+    inv_s = 1.0 / jnp.maximum(s, 1e-30)
+    if want_surface:
+        # Expected surface under the same weights; one mirrored ray per
+        # pixel (reference: main.cpp:111-117). lerp distributes over the
+        # composite: sum_i w_i lerp(local_i, C_refl, m_i)
+        #          = sum_i w_i local_i (1 - m_i) + (sum_i w_i m_i) C_refl.
+        from raytracer_tpu.ops.trace import _REFLECT_EPS
+
+        m_hat = acc["met"] * inv_s
+        p_hat = acc["point"] * inv_s
+        n_hat = (acc["normal"] * inv_s).normalized(eps=1e-12)
+        # Offset must clear the SOFT thickness of the reflecting surface:
+        # the behind-ray cut is a sigmoid of width ~tau, so an offset of
+        # _REFLECT_EPS << tau leaves the surface ~50% self-visible (soft
+        # shadow acne). Scaling with tau keeps the tau -> 0 limit exact.
+        refl_o = p_hat + n_hat * jnp.maximum(_REFLECT_EPS, 6.0 * tau)
+        refl_d = d.reflect(n_hat)
+        c_refl = trace_soft(
+            scene, refl_o, refl_d, tau=tau, tau_z=tau_z, depth=depth - 1
+        )
+        fg = (acc["col"] - acc["colmet"]) * inv_s + c_refl * m_hat
+    else:
+        fg = acc["col"] * inv_s
     return fg * coverage + sky * (1.0 - coverage)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "tonemap"))
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "tonemap", "depth")
+)
 def render_soft(
     scene: Scene,
     camera: Camera,
@@ -356,12 +413,14 @@ def render_soft(
     tau: float = 0.02,
     tau_z: float = 0.05,
     tonemap: bool = True,
+    depth: int = 0,
 ) -> jnp.ndarray:
     """Soft-visibility render to ``[H, W, 3]`` — the fit-loop forward pass.
 
     ``tau`` is the silhouette softness in world units; ``tau_z`` the
     depth-ordering softness. Small values converge to the hard render.
+    ``depth`` reflection bounces (differentiable, see trace_soft).
     """
     o, d = raygen_tile(camera, width, height)
-    img = trace_soft(scene, o, d, tau=tau, tau_z=tau_z).stacked()
+    img = trace_soft(scene, o, d, tau=tau, tau_z=tau_z, depth=depth).stacked()
     return reinhard_tonemap(img) if tonemap else img

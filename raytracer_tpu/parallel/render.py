@@ -64,19 +64,25 @@ def _globalize_prim_index(
 def _combine_hits(rec: SoAHit, axis: str) -> SoAHit:
     """Reduce per-shard closest hits to the global closest hit.
 
-    ``all_gather`` the [n_shards, ...] candidates over the primitive axis and
-    pick the min-t winner per ray. Ties (replicated walls produce identical
+    Only the scalar ``t`` crosses shards twice: one ``all_gather`` of t
+    picks the min-t winner shard per ray, then a masked ``psum`` moves the
+    winner's full record (every non-winner contributes exact zeros) — an
+    O(record) all-reduce instead of the O(n_shards x record) all-gather of
+    all 14 fields this replaces. Ties (replicated walls produce identical
     candidates on every shard) resolve to the lowest shard, which holds the
     same record — idempotent by construction.
     """
-    gathered = jax.tree_util.tree_map(lambda x: jax.lax.all_gather(x, axis), rec)
-    win = jnp.argmin(gathered.t, axis=0)
+    ts = jax.lax.all_gather(rec.t, axis)  # [n_shards, rays] — scalars only
+    win = jnp.argmin(ts, axis=0)
+    mask = win == jax.lax.axis_index(axis)
 
     def pick(x):
-        w = win.reshape((1,) + win.shape + (1,) * (x.ndim - 1 - win.ndim))
-        return jnp.take_along_axis(x, jnp.broadcast_to(w, (1,) + x.shape[1:]), 0)[0]
+        if x.dtype == jnp.bool_:
+            masked = jnp.where(mask, x, False).astype(jnp.int32)
+            return jax.lax.psum(masked, axis).astype(jnp.bool_)
+        return jax.lax.psum(jnp.where(mask, x, jnp.zeros_like(x)), axis)
 
-    return jax.tree_util.tree_map(pick, gathered)
+    return jax.tree_util.tree_map(pick, rec)
 
 
 def render_sharded_impl(
@@ -89,6 +95,7 @@ def render_sharded_impl(
     depth: int = 3,
     tonemap: bool = True,
     prim_chunk: int = 64,
+    fold: str = "auto",
 ) -> jnp.ndarray:
     """Un-jitted sharded render, for composition into jitted loss functions."""
     n_px = mesh.shape[PX_AXIS]
@@ -119,14 +126,25 @@ def render_sharded_impl(
 
         if n_prim > 1:
 
-            def hit_fn(sc, oo, dd):
+            def hit_fn(sc, oo, dd, active=None):
+                # The per-shard fold is the SAME engine as single-device
+                # (auto resolves to the Pallas shortlist kernel when the
+                # local sphere count clears its crossover) — prim sharding
+                # only changes the combine, not the fold.
+                from raytracer_tpu.ops.trace import (
+                    builtin_take_transpose,
+                    resolve_fold_fn,
+                )
+
+                fold_fn = resolve_fold_fn(fold, prim_chunk, sc.num_primitives)
                 # Builtin take transpose: shard_map's replication inference
                 # can't see through the custom-VJP matmul backward when the
                 # sphere tables are 'prim'-sharded.
-                from raytracer_tpu.ops.trace import builtin_take_transpose
-
                 with builtin_take_transpose():
-                    rec = closest_hit_soa(sc, oo, dd, prim_unroll=prim_chunk)
+                    rec = closest_hit_soa(
+                        sc, oo, dd, prim_unroll=prim_chunk, fold_fn=fold_fn,
+                        active=active,
+                    )
                 rec = _globalize_prim_index(rec, n_s_local, n_s_global, PRIM_AXIS)
                 return _combine_hits(rec, PRIM_AXIS)
 
@@ -135,7 +153,7 @@ def render_sharded_impl(
 
         radiance = trace_soa(
             scene_local, o, d, depth=depth, prim_unroll=prim_chunk,
-            closest_hit_fn=hit_fn,
+            fold=fold, closest_hit_fn=hit_fn,
         )
         img = radiance.stacked()  # [rows, W, 3]
         if tonemap:
@@ -156,7 +174,9 @@ def render_sharded_impl(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "mesh", "depth", "tonemap", "prim_chunk"),
+    static_argnames=(
+        "width", "height", "mesh", "depth", "tonemap", "prim_chunk", "fold",
+    ),
 )
 def render_sharded(
     scene: Scene,
@@ -168,6 +188,7 @@ def render_sharded(
     depth: int = 3,
     tonemap: bool = True,
     prim_chunk: int = 64,
+    fold: str = "auto",
 ) -> jnp.ndarray:
     """Jitted mesh-sharded render to an ``[H, W, 3]`` image.
 
@@ -184,6 +205,7 @@ def render_sharded(
         depth=depth,
         tonemap=tonemap,
         prim_chunk=prim_chunk,
+        fold=fold,
     )
 
 
@@ -197,6 +219,7 @@ def render_soft_sharded_impl(
     tau: float = 0.02,
     tau_z: float = 0.05,
     tonemap: bool = True,
+    depth: int = 0,
 ) -> jnp.ndarray:
     """Mesh-sharded soft-visibility render (pixel-row sharding).
 
@@ -216,7 +239,9 @@ def render_soft_sharded_impl(
     def local_render(scene_rep: Scene, camera: Camera) -> jnp.ndarray:
         row0 = jax.lax.axis_index(PX_AXIS) * rows
         o, d = raygen_tile(camera, width, height, row_offset=row0, rows=rows)
-        img = trace_soft(scene_rep, o, d, tau=tau, tau_z=tau_z).stacked()
+        img = trace_soft(
+            scene_rep, o, d, tau=tau, tau_z=tau_z, depth=depth
+        ).stacked()
         if tonemap:
             img = reinhard_tonemap(img)
         return img

@@ -88,10 +88,13 @@ def make_fit_step(
         full = merge(scene, params)
         if soft:
             # Geometry fits need soft visibility (silhouette gradients).
+            # `depth` is honored: soft reflections (diff/soft.py) make
+            # mirror-seen geometry fittable too.
             if mesh is not None:
                 img = render_soft_sharded_impl(
                     full, camera, width, height, mesh=mesh,
                     tau=soft_tau, tau_z=soft_tau_z, tonemap=tonemap,
+                    depth=depth,
                 )
             else:
                 from raytracer_tpu.diff.soft import render_soft
@@ -99,6 +102,7 @@ def make_fit_step(
                 img = render_soft(
                     full, camera, width, height,
                     tau=soft_tau, tau_z=soft_tau_z, tonemap=tonemap,
+                    depth=depth,
                 )
         elif mesh is not None:
             img = render_sharded_impl(

@@ -108,15 +108,28 @@ def benchmark_render(
     iters: int = 10,
     fold: str = "auto",
     tonemap: bool = True,
+    mesh=None,
 ) -> dict:
-    """Forward-render throughput: frame time and primary rays/s."""
+    """Forward-render throughput: frame time and primary rays/s.
+
+    With a ``mesh`` the frame shards across it (parallel/render.py) —
+    the multi-chip product path, same engine per shard.
+    """
     from raytracer_tpu.render.integrator import render
 
     def step(s, c, eps):
-        img = render(
-            s, c.replace(vfov=c.vfov + eps), width, height,
-            depth=depth, tonemap=tonemap, fold=fold,
-        )
+        cam = c.replace(vfov=c.vfov + eps)
+        if mesh is not None:
+            from raytracer_tpu.parallel.render import render_sharded
+
+            img = render_sharded(
+                s, cam, width, height, mesh=mesh, depth=depth,
+                tonemap=tonemap, fold=fold,
+            )
+        else:
+            img = render(
+                s, cam, width, height, depth=depth, tonemap=tonemap, fold=fold,
+            )
         return img.sum() * 1e-30
 
     dt = _chain_timed(step, (scene, camera), iters)
@@ -138,22 +151,31 @@ def benchmark_forward_backward(
     depth: int = 1,
     iters: int = 5,
     fold: str = "auto",
+    mesh=None,
 ) -> dict:
     """Forward vs forward+backward time; the bwd/fwd ratio metric.
 
     Backward = gradient of an image MSE w.r.t. sphere centers and colors
-    (the differentiable-fit parameterization, BASELINE config 4).
+    (the differentiable-fit parameterization, BASELINE config 4). With a
+    ``mesh`` the loss shards pixels across it and the parameter-gradient
+    all-reduce rides the mesh collectives.
     """
     from raytracer_tpu.parallel.train import merge_params
     from raytracer_tpu.render.integrator import render
 
-    target = render(scene, camera, width, height, depth=depth, fold=fold)
+    def fwd(s, c):
+        if mesh is not None:
+            from raytracer_tpu.parallel.render import render_sharded
+
+            return render_sharded(
+                s, c, width, height, mesh=mesh, depth=depth, fold=fold
+            )
+        return render(s, c, width, height, depth=depth, fold=fold)
+
+    target = fwd(scene, camera)
 
     def loss(params, s, c):
-        img = render(
-            merge_params(s, params), c, width, height, depth=depth, fold=fold
-        )
-        return jnp.mean((img - target) ** 2)
+        return jnp.mean((fwd(merge_params(s, params), c) - target) ** 2)
 
     params = {
         "center": scene.spheres.center,
