@@ -38,12 +38,17 @@ __all__ = [
     "fold_closest_pallas",
     "fold_closest_pallas_cull",
     "fold_closest_pallas_shortlist",
+    "hit_closest_pallas_shortlist",
     "pallas_available",
 ]
 
 _LANES = 128
 _TILE_ROWS = 256  # rays per tile = 256 x 128 = 32768; carries stay in VMEM
-_UNROLL = 8
+_UNROLL = 16  # spheres per chunk / manual inner unroll (Mosaic fori_loop has
+              # no unroll support). Sweep on v5e, grid-1024 1080p d3 frame:
+              # 8 -> 45.9 ms, 16 -> 34.5 ms, 32 -> 35.3 ms — bigger chunks
+              # halve the per-chunk tube-gate + lax.cond overhead that
+              # dominates divergent bounce tiles.
 
 
 def pallas_available() -> bool:
@@ -610,109 +615,79 @@ def fold_closest_pallas_cull(
 # and masks.
 # ---------------------------------------------------------------------------
 
-_SL_R, _SL_C = 64, 128  # shortlist tile (sweep on v5e: 64x128 beat 32/128-row
-                        # and 256-lane tiles — fewer divergent lanes per tile
-                        # means tighter shortlists + tube gates on bounces)
+_SL_R, _SL_C = 64, 128  # shortlist tile for PRIMARY rays (sweep on v5e:
+                        # 64x128 beat 32/128-row and 256-lane tiles)
+_SL_R_BOUNCE = 64  # bounce rays diverge and their 64-row tile-union reach
+                   # boxes shortlist most of the scene (measured median
+                   # 128/128 chunks at level 1 on grid-1024) — but finer
+                   # tiles measured WORSE (16 rows: 59 ms vs 42 ms d3 frame;
+                   # 4x phase-A tiles + 4x SMEM chunk lists + grid steps eat
+                   # the culling gains; 8 rows overflows the compile helper).
+                   # Kept as a knob; the bounce win comes from per-pair cost
+                   # + walls-first best_t tightening instead.
 _AABB_PAD = 1e-3  # conservative inflation absorbing f32 rounding drift
 _GATE_PAD = 1e-2  # bounding-sphere inflation for the in-kernel tube gate
 
 
-def _kernel_shortlist(n_w: int, n_b: int, wall_base: int, box_base: int,
-                      tiles_w: int, n_chunks: int):
-    """Fold kernel looping only over this tile's shortlisted sphere chunks.
+def _srecip(c):
+    """Sign-preserving safe reciprocal (bit-compatible with trace._safe_inv)."""
+    ok = jnp.abs(c) > 1e-12
+    return jnp.where(
+        ok, 1.0 / jnp.where(ok, c, 1.0),
+        jnp.where(c >= 0.0, 1e30, -1e30),
+    )
 
-    Each shortlisted chunk is gated by a best-t-aware per-ray tube test
-    against the chunk's bounding sphere before its 8-sphere fold runs; the
-    sphere fold tie-breaks on the global index so the result is independent
-    of the (near-to-far sorted) traversal order.
+
+def _shortlist_fold_core(
+    sm: dict, t: jnp.ndarray,
+    vox, voy, voz, vdx, vdy, vdz, oo, do, amask,
+    n_w: int, n_b: int, wall_base: int, box_base: int, n_chunks: int,
+):
+    """The shortlist fold: (best_t, best_i, t0, t_ex, seg_ok, n).
+
+    Shared by the (t, index) kernel and the full-hit-record kernel. ``sm``
+    holds the scalar-prefetch refs by name. Each shortlisted chunk is gated
+    by a best-t-aware per-ray tube test against the chunk's bounding sphere
+    before its 8-sphere fold runs; the sphere fold tie-breaks on the global
+    index so the result is independent of the (near-to-far sorted)
+    traversal order.
     """
+    cx, cy, cz, cr2 = sm["cx"], sm["cy"], sm["cz"], sm["cr2"]
+    chunk_list, counts, slab = sm["chunk_list"], sm["counts"], sm["slab"]
+    gx, gy, gz, gg, gr2 = sm["gx"], sm["gy"], sm["gz"], sm["gg"], sm["gr2"]
+    n = counts[t]
+    rows, cols = vox.shape
 
-    def kernel(
-        cx, cy, cz, cr2,
-        nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz, px, py, pz, ln, wd,
-        bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
-        chunk_list,  # [tiles * n_chunks] i32 candidate chunk ids (compacted)
-        counts,      # [tiles] i32: -1 dead tile, else shortlist length
-        gx, gy, gz, gg, gr2,  # chunk bounding spheres: center, |c|^2, (r+pad)^2
-        slab,        # [8] f32: sphere-set AABB lo.xyz, hi.xyz (+2 pad)
-        ox, oy, oz, dx, dy, dz, amask,
-        bt_ref, bi_ref,
-    ):
-        t = pl.program_id(0) * tiles_w + pl.program_id(1)
-        n = counts[t]
+    # Per-ray slab clip (same intervals as phase A): any sphere hit lies
+    # on [t0, t_ex]. Lanes that miss the slab or are masked dead can
+    # never improve on any chunk — they drop out of the gate entirely.
+    def axis_iv(o_c, d_c, lo_c, hi_c):
+        inv = _srecip(d_c)
+        t1, t2 = (lo_c - o_c) * inv, (hi_c - o_c) * inv
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
 
-        vox, voy, voz = ox[:], oy[:], oz[:]
-        vdx, vdy, vdz = dx[:], dy[:], dz[:]
-        oo = vox * vox + voy * voy + voz * voz
-        do = vdx * vox + vdy * voy + vdz * voz
+    ex_lo, ex_hi = axis_iv(vox, vdx, slab[0], slab[3])
+    ey_lo, ey_hi = axis_iv(voy, vdy, slab[1], slab[4])
+    ez_lo, ez_hi = axis_iv(voz, vdz, slab[2], slab[5])
+    t0 = jnp.maximum(jnp.maximum(jnp.maximum(ex_lo, ey_lo), ez_lo), 0.0)
+    t_ex = jnp.minimum(jnp.minimum(ex_hi, ey_hi), ez_hi)
+    seg_ok = (amask > 0.0) & (t_ex >= t0) & (t_ex > 0.0)
 
-        # Per-ray slab clip (same intervals as phase A): any sphere hit lies
-        # on [t0, t_ex]. Lanes that miss the slab or are masked dead can
-        # never improve on any chunk — they drop out of the gate entirely.
-        def srecip(c):
-            ok = jnp.abs(c) > 1e-12
-            return jnp.where(
-                ok, 1.0 / jnp.where(ok, c, 1.0),
-                jnp.where(c >= 0.0, 1e30, -1e30),
-            )
+    best_t = jnp.full((rows, cols), MISS_T, jnp.float32)
+    best_i = jnp.full((rows, cols), -1, jnp.int32)
+    alive = n >= 0
 
-        def axis_iv(o_c, d_c, lo_c, hi_c):
-            inv = srecip(d_c)
-            t1, t2 = (lo_c - o_c) * inv, (hi_c - o_c) * inv
-            return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
-
-        ex_lo, ex_hi = axis_iv(vox, vdx, slab[0], slab[3])
-        ey_lo, ey_hi = axis_iv(voy, vdy, slab[1], slab[4])
-        ez_lo, ez_hi = axis_iv(voz, vdz, slab[2], slab[5])
-        t0 = jnp.maximum(
-            jnp.maximum(jnp.maximum(ex_lo, ey_lo), ez_lo), 0.0
-        )
-        t_ex = jnp.minimum(jnp.minimum(ex_hi, ey_hi), ez_hi)
-        seg_ok = (amask[:] > 0.0) & (t_ex >= t0) & (t_ex > 0.0)
-
-        best_t = jnp.full((_SL_R, _SL_C), MISS_T, jnp.float32)
-        best_i = jnp.full((_SL_R, _SL_C), -1, jnp.int32)
-
-        def sphere_one(idx, carry):
-            bt, bi = carry
-            s = vdx * cx[idx] + vdy * cy[idx] + vdz * cz[idx]
-            m = vox * cx[idx] + voy * cy[idx] + voz * cz[idx]
-            b_half = do - s
-            c_full = oo - 2.0 * m + cr2[idx]
-            disc = b_half * b_half - c_full
-            tt = -b_half - jnp.sqrt(jnp.maximum(disc, 0.0))
-            win = (disc >= 0.0) & (tt > 0.0) & (
-                (tt < bt) | ((tt == bt) & (idx < bi))
-            )
-            return jnp.where(win, tt, bt), jnp.where(win, idx, bi)
-
-        def chunk_body(k, carry):
-            bt, bi = carry
-            c = chunk_list[t * n_chunks + k]
-            base = c * _UNROLL
-            # Tube gate: min distance^2 from the chunk's bounding sphere
-            # center to each ray's live segment [t0, min(t_ex, best_t)].
-            s_g = vdx * gx[c] + vdy * gy[c] + vdz * gz[c]
-            m_g = vox * gx[c] + voy * gy[c] + voz * gz[c]
-            t1 = jnp.minimum(t_ex, bt)
-            tc = jnp.clip(s_g - do, t0, t1)
-            dist2 = oo - 2.0 * m_g + gg[c] + tc * (2.0 * (do - s_g) + tc)
-            reachable = seg_ok & (t1 >= t0) & (dist2 <= gr2[c])
-
-            def do_chunk(cr):
-                for u in range(_UNROLL):
-                    cr = sphere_one(base + u, cr)
-                return cr
-
-            return jax.lax.cond(
-                jnp.any(reachable), do_chunk, lambda cr: cr, (bt, bi)
-            )
-
-        best_t, best_i = jax.lax.fori_loop(
-            0, jnp.maximum(n, 0), chunk_body, (best_t, best_i)
-        )
-
-        alive = n >= 0
+    # Walls and boxes fold FIRST: they are few and cheap, and the best_t
+    # they establish (e.g. the floor under a sphere grid) lets the tube
+    # gate reject every sphere chunk beyond them before its fold runs.
+    # Outcome-identical to the old spheres-first order: walls/boxes win
+    # only on strict '<', spheres win exact ties via the (idx < bi)
+    # tie-break, and sphere indices sort below wall/box indices globally.
+    if n_w:
+        nx, ny, nz, dpl = sm["nx"], sm["ny"], sm["nz"], sm["dpl"]
+        rx, ry, rz = sm["rx"], sm["ry"], sm["rz"]
+        ux, uy, uz = sm["ux"], sm["uy"], sm["uz"]
+        px, py, pz, ln, wd = sm["px"], sm["py"], sm["pz"], sm["ln"], sm["wd"]
 
         def wall_one(i, carry):
             bt, bi = carry
@@ -733,55 +708,319 @@ def _kernel_shortlist(n_w: int, n_b: int, wall_base: int, box_base: int,
             )
             return jnp.where(win, tt, bt), jnp.where(win, wall_base + i, bi)
 
-        if n_w:
-            def wall_chunk(k, carry):
-                for u in range(_UNROLL):
-                    carry = wall_one(k * _UNROLL + u, carry)
-                return carry
+        def wall_chunk(k, carry):
+            for u in range(_UNROLL):
+                carry = wall_one(k * _UNROLL + u, carry)
+            return carry
 
-            best_t, best_i = jax.lax.fori_loop(
-                0, jnp.where(alive, n_w // _UNROLL, 0), wall_chunk,
-                (best_t, best_i),
+        best_t, best_i = jax.lax.fori_loop(
+            0, jnp.where(alive, n_w // _UNROLL, 0), wall_chunk,
+            (best_t, best_i),
+        )
+
+    if n_b:
+        bmnx, bmny, bmnz = sm["bmnx"], sm["bmny"], sm["bmnz"]
+        bmxx, bmxy, bmxz = sm["bmxx"], sm["bmxy"], sm["bmxz"]
+        ivx, ivy, ivz = _srecip(vdx), _srecip(vdy), _srecip(vdz)
+
+        def box_one(i, carry):
+            bt, bi = carry
+            t1x, t2x = (bmnx[i] - vox) * ivx, (bmxx[i] - vox) * ivx
+            t1y, t2y = (bmny[i] - voy) * ivy, (bmxy[i] - voy) * ivy
+            t1z, t2z = (bmnz[i] - voz) * ivz, (bmxz[i] - voz) * ivz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z),
             )
-
-        if n_b:
-            def srecip(c):
-                ok = jnp.abs(c) > 1e-12
-                return jnp.where(
-                    ok, 1.0 / jnp.where(ok, c, 1.0),
-                    jnp.where(c >= 0.0, 1e30, -1e30),
-                )
-
-            ivx, ivy, ivz = srecip(vdx), srecip(vdy), srecip(vdz)
-
-            def box_one(i, carry):
-                bt, bi = carry
-                t1x, t2x = (bmnx[i] - vox) * ivx, (bmxx[i] - vox) * ivx
-                t1y, t2y = (bmny[i] - voy) * ivy, (bmxy[i] - voy) * ivy
-                t1z, t2z = (bmnz[i] - voz) * ivz, (bmxz[i] - voz) * ivz
-                tn = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                    jnp.minimum(t1z, t2z),
-                )
-                tf = jnp.minimum(
-                    jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                    jnp.maximum(t1z, t2z),
-                )
-                win = (tn <= tf) & (tn > 0.0) & (tn < bt)
-                return jnp.where(win, tn, bt), jnp.where(win, box_base + i, bi)
-
-            def box_chunk(k, carry):
-                for u in range(_UNROLL):
-                    carry = box_one(k * _UNROLL + u, carry)
-                return carry
-
-            best_t, best_i = jax.lax.fori_loop(
-                0, jnp.where(alive, n_b // _UNROLL, 0), box_chunk,
-                (best_t, best_i),
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z),
             )
+            win = (tn <= tf) & (tn > 0.0) & (tn < bt)
+            return jnp.where(win, tn, bt), jnp.where(win, box_base + i, bi)
 
+        def box_chunk(k, carry):
+            for u in range(_UNROLL):
+                carry = box_one(k * _UNROLL + u, carry)
+            return carry
+
+        best_t, best_i = jax.lax.fori_loop(
+            0, jnp.where(alive, n_b // _UNROLL, 0), box_chunk,
+            (best_t, best_i),
+        )
+
+    def sphere_one(idx, carry):
+        bt, bi = carry
+        s = vdx * cx[idx] + vdy * cy[idx] + vdz * cz[idx]
+        m = vox * cx[idx] + voy * cy[idx] + voz * cz[idx]
+        b_half = do - s
+        c_full = oo - 2.0 * m + cr2[idx]
+        disc = b_half * b_half - c_full
+        tt = -b_half - jnp.sqrt(jnp.maximum(disc, 0.0))
+        win = (disc >= 0.0) & (tt > 0.0) & (
+            (tt < bt) | ((tt == bt) & (idx < bi))
+        )
+        return jnp.where(win, tt, bt), jnp.where(win, idx, bi)
+
+    def chunk_body(k, carry):
+        bt, bi = carry
+        c = chunk_list[t * n_chunks + k]
+        base = c * _UNROLL
+        # Tube gate: min distance^2 from the chunk's bounding sphere
+        # center to each ray's live segment [t0, min(t_ex, best_t)].
+        s_g = vdx * gx[c] + vdy * gy[c] + vdz * gz[c]
+        m_g = vox * gx[c] + voy * gy[c] + voz * gz[c]
+        t1 = jnp.minimum(t_ex, bt)
+        tc = jnp.clip(s_g - do, t0, t1)
+        dist2 = oo - 2.0 * m_g + gg[c] + tc * (2.0 * (do - s_g) + tc)
+        reachable = seg_ok & (t1 >= t0) & (dist2 <= gr2[c])
+
+        def do_chunk(cr):
+            for u in range(_UNROLL):
+                cr = sphere_one(base + u, cr)
+            return cr
+
+        return jax.lax.cond(
+            jnp.any(reachable), do_chunk, lambda cr: cr, (bt, bi)
+        )
+
+    best_t, best_i = jax.lax.fori_loop(
+        0, jnp.maximum(n, 0), chunk_body, (best_t, best_i)
+    )
+
+    return best_t, best_i, t0, t_ex, seg_ok, n
+
+
+def _sm_dict(cx, cy, cz, cr2, nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz,
+             px, py, pz, ln, wd, bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
+             chunk_list, counts, gx, gy, gz, gg, gr2, slab):
+    return dict(
+        cx=cx, cy=cy, cz=cz, cr2=cr2, nx=nx, ny=ny, nz=nz, dpl=dpl,
+        rx=rx, ry=ry, rz=rz, ux=ux, uy=uy, uz=uz, px=px, py=py, pz=pz,
+        ln=ln, wd=wd, bmnx=bmnx, bmny=bmny, bmnz=bmnz, bmxx=bmxx,
+        bmxy=bmxy, bmxz=bmxz, chunk_list=chunk_list, counts=counts,
+        gx=gx, gy=gy, gz=gz, gg=gg, gr2=gr2, slab=slab,
+    )
+
+
+def _kernel_shortlist(n_w: int, n_b: int, wall_base: int, box_base: int,
+                      tiles_w: int, n_chunks: int):
+    """Fold kernel looping only over this tile's shortlisted sphere chunks."""
+
+    def kernel(
+        cx, cy, cz, cr2,
+        nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz, px, py, pz, ln, wd,
+        bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
+        chunk_list,  # [tiles * n_chunks] i32 candidate chunk ids (compacted)
+        counts,      # [tiles] i32: -1 dead tile, else shortlist length
+        gx, gy, gz, gg, gr2,  # chunk bounding spheres: center, |c|^2, (r+pad)^2
+        slab,        # [8] f32: sphere-set AABB lo.xyz, hi.xyz (+2 pad)
+        ox, oy, oz, dx, dy, dz, amask,
+        bt_ref, bi_ref,
+    ):
+        sm = _sm_dict(
+            cx, cy, cz, cr2, nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz,
+            px, py, pz, ln, wd, bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
+            chunk_list, counts, gx, gy, gz, gg, gr2, slab,
+        )
+        t = pl.program_id(0) * tiles_w + pl.program_id(1)
+        vox, voy, voz = ox[:], oy[:], oz[:]
+        vdx, vdy, vdz = dx[:], dy[:], dz[:]
+        oo = vox * vox + voy * voy + voz * voz
+        do = vdx * vox + vdy * voy + vdz * voz
+        best_t, best_i, *_ = _shortlist_fold_core(
+            sm, t, vox, voy, voz, vdx, vdy, vdz, oo, do, amask[:],
+            n_w, n_b, wall_base, box_base, n_chunks,
+        )
         bt_ref[:] = best_t
         bi_ref[:] = best_i
+
+    return kernel
+
+
+def _kernel_shortlist_hit(n_w: int, n_b: int, wall_base: int, box_base: int,
+                          tiles_w: int, n_chunks: int, n_s_pad: int,
+                          n_w_pad: int):
+    """Shortlist fold + in-kernel winner regather + hit-record math.
+
+    Emits the FULL per-ray hit record (t, index, point, normal, material)
+    so large scenes skip the one-hot-matmul attribute gather entirely
+    (ops/trace.py `_mm_hit` cost ~3.2 ms/level at 1080p/1024 spheres).
+    The winner's attributes come from a masked-select sweep over ONLY the
+    tile's shortlisted sphere chunks (gated: most chunks hold no winners)
+    plus the few walls/boxes; the winner t/point/normal math then mirrors
+    `_mm_hit` (trace.py) formula-for-formula, because the training path's
+    custom VJP differentiates `_mm_hit` as this kernel's backward.
+    """
+
+    def kernel(
+        cx, cy, cz, cr2,
+        nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz, px, py, pz, ln, wd,
+        bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
+        chunk_list, counts, gx, gy, gz, gg, gr2, slab,
+        srad,  # [n_s_pad] sphere radii (for the winner normal)
+        mcr, mcg, mcb, mam, mmt, mdf, msp, mex,  # padded global materials
+        ox, oy, oz, dx, dy, dz, amask,
+        t_ref, i_ref, hpx_ref, hpy_ref, hpz_ref, hnx_ref, hny_ref, hnz_ref,
+        colr_ref, colg_ref, colb_ref, amb_ref, met_ref, dif_ref, spe_ref,
+        exq_ref,
+    ):
+        sm = _sm_dict(
+            cx, cy, cz, cr2, nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz,
+            px, py, pz, ln, wd, bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
+            chunk_list, counts, gx, gy, gz, gg, gr2, slab,
+        )
+        t_id = pl.program_id(0) * tiles_w + pl.program_id(1)
+        vox, voy, voz = ox[:], oy[:], oz[:]
+        vdx, vdy, vdz = dx[:], dy[:], dz[:]
+        oo = vox * vox + voy * voy + voz * voz
+        do = vdx * vox + vdy * voy + vdz * voz
+        best_t, best_i, t0, t_ex, seg_ok, n = _shortlist_fold_core(
+            sm, t_id, vox, voy, voz, vdx, vdy, vdz, oo, do, amask[:],
+            n_w, n_b, wall_base, box_base, n_chunks,
+        )
+
+        rows, cols = vox.shape
+        zero = jnp.zeros((rows, cols), jnp.float32)
+        hit = best_t < MISS_T
+        is_sphere = (best_i >= 0) & (best_i < wall_base)
+        is_wall = (best_i >= wall_base) & (best_i < box_base)
+        is_box = best_i >= box_base
+
+        # --- winner attribute regather: masked selects over the winners'
+        # own shortlisted chunks only (cond-gated), then walls and boxes ---
+        # acc = (gathered geometry g0..g5, 8 materials); meanings per type
+        # mirror trace.py `_packed_table` columns 8-13.
+        acc = (zero,) * 14
+
+        def pick_one(acc, m, vals):
+            return tuple(jnp.where(m, v, a) for a, v in zip(acc, vals))
+
+        def regather_chunk(k, acc):
+            c = chunk_list[t_id * n_chunks + k]
+            base = c * _UNROLL
+            in_chunk = is_sphere & (best_i >= base) & (best_i < base + _UNROLL)
+
+            def do_chunk(acc):
+                for u in range(_UNROLL):
+                    idx = base + u
+                    m = is_sphere & (best_i == idx)
+                    acc = pick_one(acc, m, (
+                        cx[idx], cy[idx], cz[idx], srad[idx], zero, zero,
+                        mcr[idx], mcg[idx], mcb[idx], mam[idx], mmt[idx],
+                        mdf[idx], msp[idx], mex[idx],
+                    ))
+                return acc
+
+            return jax.lax.cond(jnp.any(in_chunk), do_chunk, lambda a: a, acc)
+
+        acc = jax.lax.fori_loop(0, jnp.maximum(n, 0), regather_chunk, acc)
+
+        if n_w:
+            def regather_wall(i, acc):
+                m = is_wall & (best_i == wall_base + i)
+                j = n_s_pad + i  # padded material row
+                return pick_one(acc, m, (
+                    nx[i], ny[i], nz[i], px[i], py[i], pz[i],
+                    mcr[j], mcg[j], mcb[j], mam[j], mmt[j], mdf[j],
+                    msp[j], mex[j],
+                ))
+
+            acc = jax.lax.fori_loop(0, jnp.where(n >= 0, n_w, 0),
+                                    regather_wall, acc)
+
+        if n_b:
+            def regather_box(i, acc):
+                m = is_box & (best_i == box_base + i)
+                j = n_s_pad + n_w_pad + i
+                return pick_one(acc, m, (
+                    bmnx[i], bmny[i], bmnz[i], bmxx[i], bmxy[i], bmxz[i],
+                    mcr[j], mcg[j], mcb[j], mam[j], mmt[j], mdf[j],
+                    msp[j], mex[j],
+                ))
+
+            acc = jax.lax.fori_loop(0, jnp.where(n >= 0, n_b, 0),
+                                    regather_box, acc)
+
+        g0, g1, g2, g3, g4, g5 = acc[:6]
+        colr, colg, colb, amb, met, dif, spe, exq = acc[6:]
+
+        # --- winner t per type (mirrors _mm_hit, trace.py) ---
+        tt = best_t
+        if True:  # spheres (always present in this kernel's use)
+            bq = 2.0 * (vdx * (vox - g0) + vdy * (voy - g1) + vdz * (voz - g2))
+            cq = (
+                (vox - g0) * (vox - g0) + (voy - g1) * (voy - g1)
+                + (voz - g2) * (voz - g2) - g3 * g3
+            )
+            det = bq * bq - 4.0 * cq
+            pos = det >= 0.0
+            sq = jnp.sqrt(jnp.where(pos, det, 1.0))
+            t_s = jnp.where(pos, 0.5 * (-bq - sq), 1.0)
+            tt = jnp.where(hit & is_sphere, t_s, tt)
+        if n_w:
+            denom = vdx * g0 + vdy * g1 + vdz * g2
+            ok = jnp.abs(denom) > 1e-12
+            t_w = (
+                (g3 - vox) * g0 + (g4 - voy) * g1 + (g5 - voz) * g2
+            ) / jnp.where(ok, denom, 1.0)
+            tt = jnp.where(hit & is_wall & ok, t_w, tt)
+        if n_b:
+            ivx, ivy, ivz = _srecip(vdx), _srecip(vdy), _srecip(vdz)
+            t_b = jnp.maximum(
+                jnp.maximum(
+                    jnp.minimum((g0 - vox) * ivx, (g3 - vox) * ivx),
+                    jnp.minimum((g1 - voy) * ivy, (g4 - voy) * ivy),
+                ),
+                jnp.minimum((g2 - voz) * ivz, (g5 - voz) * ivz),
+            )
+            tt = jnp.where(hit & is_box, t_b, tt)
+
+        t_safe = jnp.where(hit, tt, 1.0)
+        hpx = vox + vdx * t_safe
+        hpy = voy + vdy * t_safe
+        hpz = voz + vdz * t_safe
+
+        # --- winner normal per type (mirrors _mm_hit) ---
+        inv_r = 1.0 / jnp.maximum(g3, 1e-12)
+        hnx = (hpx - g0) * inv_r
+        hny = (hpy - g1) * inv_r
+        hnz = (hpz - g2) * inv_r
+        if n_w:
+            hnx = jnp.where(is_sphere, hnx, g0)
+            hny = jnp.where(is_sphere, hny, g1)
+            hnz = jnp.where(is_sphere, hnz, g2)
+        if n_b:
+            ivx, ivy, ivz = _srecip(vdx), _srecip(vdy), _srecip(vdz)
+            tx = (jnp.where(vdx >= 0, g0, g3) - vox) * ivx
+            ty = (jnp.where(vdy >= 0, g1, g4) - voy) * ivy
+            tz = (jnp.where(vdz >= 0, g2, g5) - voz) * ivz
+            bx = (tx >= ty) & (tx >= tz)
+            by = jnp.logical_not(bx) & (ty >= tz)
+            bz = jnp.logical_not(bx) & jnp.logical_not(by)
+            hnx = jnp.where(is_box, jnp.where(bx, -jnp.sign(vdx), 0.0), hnx)
+            hny = jnp.where(is_box, jnp.where(by, -jnp.sign(vdy), 0.0), hny)
+            hnz = jnp.where(is_box, jnp.where(bz, -jnp.sign(vdz), 0.0), hnz)
+        hnx = jnp.where(hit, hnx, 0.0)
+        hny = jnp.where(hit, hny, 0.0)
+        hnz = jnp.where(hit, hnz, 1.0)
+
+        t_ref[:] = jnp.where(hit, tt, best_t)
+        i_ref[:] = best_i
+        hpx_ref[:] = hpx
+        hpy_ref[:] = hpy
+        hpz_ref[:] = hpz
+        hnx_ref[:] = hnx
+        hny_ref[:] = hny
+        hnz_ref[:] = hnz
+        colr_ref[:] = colr
+        colg_ref[:] = colg
+        colb_ref[:] = colb
+        amb_ref[:] = amb
+        met_ref[:] = met
+        dif_ref[:] = dif
+        spe_ref[:] = spe
+        exq_ref[:] = exq
 
     return kernel
 
@@ -789,15 +1028,46 @@ def _kernel_shortlist(n_w: int, n_b: int, wall_base: int, box_base: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_w", "n_b", "wall_base", "box_base", "tiles_w",
-                     "n_chunks", "interpret"),
+                     "n_chunks", "n_s_pad", "n_w_pad", "sl_r", "interpret"),
+)
+def _fold_shortlist_hit(tables, chunk_list, counts, gtables, slab, mats,
+                        rays, *, n_w: int, n_b: int, wall_base: int,
+                        box_base: int, tiles_w: int, n_chunks: int,
+                        n_s_pad: int, n_w_pad: int, sl_r: int,
+                        interpret: bool):
+    h, w = rays[0].shape
+    grid = (h // sl_r, w // _SL_C)
+    spec = pl.BlockSpec(
+        (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=33 + 9,
+        grid=grid,
+        in_specs=[spec] * 7,
+        out_specs=(spec,) * 16,
+    )
+    f32 = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    return pl.pallas_call(
+        _kernel_shortlist_hit(n_w, n_b, wall_base, box_base, tiles_w,
+                              n_chunks, n_s_pad, n_w_pad),
+        out_shape=(f32, jax.ShapeDtypeStruct((h, w), jnp.int32)) + (f32,) * 14,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*tables, chunk_list, counts, *gtables, slab, *mats, *rays)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_w", "n_b", "wall_base", "box_base", "tiles_w",
+                     "n_chunks", "sl_r", "interpret"),
 )
 def _fold_shortlist(tables, chunk_list, counts, gtables, slab, rays, *,
                     n_w: int, n_b: int, wall_base: int, box_base: int,
-                    tiles_w: int, n_chunks: int, interpret: bool):
+                    tiles_w: int, n_chunks: int, sl_r: int, interpret: bool):
     h, w = rays[0].shape
-    grid = (h // _SL_R, w // _SL_C)
+    grid = (h // sl_r, w // _SL_C)
     spec = pl.BlockSpec(
-        (_SL_R, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+        (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=33,
@@ -816,12 +1086,12 @@ def _fold_shortlist(tables, chunk_list, counts, gtables, slab, rays, *,
     )(*tables, chunk_list, counts, *gtables, slab, *rays)
 
 
-def _tile_reduce(x, th, tw, op):
-    return op(x.reshape(th, _SL_R, tw, _SL_C), axis=(1, 3))
+def _tile_reduce(x, th, tw, op, sl_r=_SL_R):
+    return op(x.reshape(th, sl_r, tw, _SL_C), axis=(1, 3))
 
 
 def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
-                       n_chunks: int):
+                       n_chunks: int, sl_r: int = _SL_R):
     """Per-tile candidate chunk lists from slab-clipped reach boxes.
 
     Returns ``(chunk_list [th*tw*n_chunks] i32, counts [th*tw] i32,
@@ -864,8 +1134,8 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
         p_lo = jnp.where(used, jnp.minimum(p1, p2), BIG)
         p_hi = jnp.where(used, jnp.maximum(p1, p2), -BIG)
         return (
-            _tile_reduce(p_lo, th, tw, jnp.min) - _AABB_PAD,
-            _tile_reduce(p_hi, th, tw, jnp.max) + _AABB_PAD,
+            _tile_reduce(p_lo, th, tw, jnp.min, sl_r) - _AABB_PAD,
+            _tile_reduce(p_hi, th, tw, jnp.max, sl_r) + _AABB_PAD,
         )
 
     rx_lo, rx_hi = seg_minmax(ox, dx)
@@ -923,12 +1193,13 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
     # Rejected chunks sort to the tail via +BIG keys. Correct for any order
     # (the kernel tie-breaks on the global index); near-first just makes
     # best_t tighten early so the tube gate rejects the far tail.
-    cnt = jnp.maximum(_tile_reduce(used.astype(jnp.float32), th, tw, jnp.sum),
-                      1.0)
+    cnt = jnp.maximum(
+        _tile_reduce(used.astype(jnp.float32), th, tw, jnp.sum, sl_r), 1.0
+    )
 
     def centroid(o_c, d_c):
         p0 = jnp.where(used, o_c + t0 * d_c, 0.0)
-        return _tile_reduce(p0, th, tw, jnp.sum) / cnt
+        return _tile_reduce(p0, th, tw, jnp.sum, sl_r) / cnt
 
     px0, py0, pz0 = centroid(ox, dx), centroid(oy, dy), centroid(oz, dz)
     dist = jnp.sqrt(
@@ -939,26 +1210,75 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
     order = jnp.argsort(jnp.where(accept, dist, BIG), axis=-1)
     chunk_list = order.astype(jnp.int32)
 
-    alive = _tile_reduce(act, th, tw, jnp.any)
+    alive = _tile_reduce(act, th, tw, jnp.any, sl_r)
     counts = jnp.where(alive, accept.sum(axis=-1).astype(jnp.int32), -1)
     return chunk_list.reshape(-1), counts.reshape(-1), gtables, slab
 
 
-def fold_closest_pallas_shortlist(
-    scene: Scene, o: V3, d: V3, *, active=None, interpret: bool | None = None
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(min-t, argmin index) via the two-level shortlist fold.
+def _packed_mat_tables(scene: Scene, counts: dict):
+    """(srad, 8 global material columns) for the hit-record kernel.
 
-    Drop-in for the other folds (bit-compatible; culling is conservative).
-    ``active``: optional [H, W] bool — lanes whose result is unused (zero
-    path throughput); they are excluded from reach stats and may return
-    arbitrary miss records.
+    Material rows live at PADDED offsets — spheres at [0, n_s_pad), walls at
+    [n_s_pad, n_s_pad + n_w_pad), boxes after — so every in-kernel read is
+    in bounds; pad rows are zeros and are only ever read under a false
+    winner mask. ``srad`` is the sphere radius column (the winner-normal
+    scale, mirroring trace.py `_packed_table` column 11).
+    """
+    n_s_pad = max(counts["n_s_pad"], 1)
+    n_w_pad = max(counts["n_w_pad"], 1)
+    n_b_pad = max(counts["n_b_pad"], 1)
+
+    def pad_to(x, size):
+        n = x.shape[0]
+        if n == size:
+            return jnp.asarray(x, jnp.float32)
+        return jnp.concatenate(
+            [jnp.asarray(x, jnp.float32), jnp.zeros((size - n,), jnp.float32)]
+        )
+
+    srad = pad_to(scene.spheres.radius, n_s_pad)
+
+    def col(get):
+        parts = []
+        for prims, size in (
+            (scene.spheres, n_s_pad), (scene.walls, n_w_pad),
+            (scene.boxes, n_b_pad),
+        ):
+            m = prims.material
+            parts.append(pad_to(get(m), size))
+        return jnp.concatenate(parts)
+
+    mats = (
+        col(lambda m: m.color[:, 0]), col(lambda m: m.color[:, 1]),
+        col(lambda m: m.color[:, 2]), col(lambda m: m.ambient),
+        col(lambda m: m.metallic), col(lambda m: m.diffuse),
+        col(lambda m: m.specular), col(lambda m: m.specular_exponent),
+    )
+    return srad, mats, n_s_pad, n_w_pad
+
+
+def hit_closest_pallas_shortlist(
+    scene: Scene, o: V3, d: V3, *, active=None, interpret: bool | None = None,
+    sl_r: int | None = None,
+):
+    """Full hit record from the shortlist kernel — no separate gather pass.
+
+    Returns the 16 per-ray arrays ``(t, index, point xyz, normal xyz,
+    color rgb, ambient, metallic, diffuse, specular, exponent)`` with the
+    same values as ``fold_closest_pallas_shortlist`` + trace.py ``_mm_hit``
+    (formula-mirrored; asserted by tests). Selection (and therefore every
+    output) is gradient-free — the differentiable path pairs this forward
+    with ``_mm_hit``'s backward via custom_vjp in trace.py.
     """
     if interpret is None:
         interpret = not pallas_available()
+    if sl_r is None:
+        # Bounce calls arrive with an `active` mask; their rays diverge, so
+        # finer tiles keep the per-tile reach boxes (and shortlists) tight.
+        sl_r = _SL_R if active is None else _SL_R_BOUNCE
     shape = jnp.broadcast_shapes(o.x.shape, d.x.shape)
     h, w = shape
-    hp = -(-h // _SL_R) * _SL_R
+    hp = -(-h // sl_r) * sl_r
     wp = -(-w // _SL_C) * _SL_C
 
     def prep(c, fill):
@@ -982,12 +1302,12 @@ def fold_closest_pallas_shortlist(
         act = prep(active, False)
 
     tables, counts_tbl = _packed_fold_tables(scene)
-    th, tw = hp // _SL_R, wp // _SL_C
+    srad, mats, n_s_pad, n_w_pad = _packed_mat_tables(scene, counts_tbl)
+    th, tw = hp // sl_r, wp // _SL_C
     n_chunks = counts_tbl["n_s_pad"] // _UNROLL if counts_tbl["n_s_pad"] else 0
 
     if n_chunks == 0:
-        # No spheres: every tile folds walls/boxes brute-force (alive gate).
-        alive = _tile_reduce(act, th, tw, jnp.any)
+        alive = _tile_reduce(act, th, tw, jnp.any, sl_r)
         counts = jnp.where(alive, 0, -1).astype(jnp.int32).reshape(-1)
         n_chunks_eff = 1
         chunk_list = jnp.zeros((th * tw * n_chunks_eff,), jnp.int32)
@@ -997,7 +1317,83 @@ def fold_closest_pallas_shortlist(
         slab = jnp.zeros((8,), jnp.float32)
     else:
         chunk_list, counts, gtables, slab = _shortlist_phase_a(
-            scene, rays, act, th, tw, n_chunks
+            scene, rays, act, th, tw, n_chunks, sl_r
+        )
+        n_chunks_eff = n_chunks
+
+    outs = _fold_shortlist_hit(
+        tables, chunk_list, counts, gtables, slab, (srad,) + mats,
+        rays + (act.astype(jnp.float32),),
+        n_w=counts_tbl["n_w_pad"], n_b=counts_tbl["n_b_pad"],
+        wall_base=counts_tbl["n_s"],
+        box_base=counts_tbl["n_s"] + counts_tbl["n_w"],
+        tiles_w=tw, n_chunks=n_chunks_eff, n_s_pad=n_s_pad,
+        n_w_pad=n_w_pad, sl_r=sl_r, interpret=interpret,
+    )
+    if hp != h or wp != w:
+        outs = tuple(x[:h, :w] for x in outs)
+    return outs
+
+
+def fold_closest_pallas_shortlist(
+    scene: Scene, o: V3, d: V3, *, active=None, interpret: bool | None = None,
+    sl_r: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(min-t, argmin index) via the two-level shortlist fold.
+
+    Drop-in for the other folds (bit-compatible; culling is conservative).
+    ``active``: optional [H, W] bool — lanes whose result is unused (zero
+    path throughput); they are excluded from reach stats and may return
+    arbitrary miss records.
+    """
+    if interpret is None:
+        interpret = not pallas_available()
+    if sl_r is None:
+        # Bounce calls arrive with an `active` mask; their rays diverge, so
+        # finer tiles keep the per-tile reach boxes (and shortlists) tight.
+        sl_r = _SL_R if active is None else _SL_R_BOUNCE
+    shape = jnp.broadcast_shapes(o.x.shape, d.x.shape)
+    h, w = shape
+    hp = -(-h // sl_r) * sl_r
+    wp = -(-w // _SL_C) * _SL_C
+
+    def prep(c, fill):
+        c = jnp.broadcast_to(c, shape)
+        if hp != h or wp != w:
+            c = jnp.pad(c, ((0, hp - h), (0, wp - w)), constant_values=fill)
+        return c
+
+    rays = (
+        prep(o.x, 0.0), prep(o.y, 0.0), prep(o.z, 0.0),
+        prep(d.x, 0.0), prep(d.y, 0.0), prep(d.z, 1.0),
+    )
+    if active is None:
+        act = jnp.ones((hp, wp), bool)
+        if hp != h or wp != w:
+            act = jnp.pad(
+                jnp.ones((h, w), bool), ((0, hp - h), (0, wp - w)),
+                constant_values=False,
+            )
+    else:
+        act = prep(active, False)
+
+    tables, counts_tbl = _packed_fold_tables(scene)
+    th, tw = hp // sl_r, wp // _SL_C
+    n_chunks = counts_tbl["n_s_pad"] // _UNROLL if counts_tbl["n_s_pad"] else 0
+
+    if n_chunks == 0:
+        # No spheres: every tile folds walls/boxes brute-force (alive gate).
+        alive = _tile_reduce(act, th, tw, jnp.any, sl_r)
+        counts = jnp.where(alive, 0, -1).astype(jnp.int32).reshape(-1)
+        n_chunks_eff = 1
+        chunk_list = jnp.zeros((th * tw * n_chunks_eff,), jnp.int32)
+        gtables = tuple(jnp.zeros((1,), jnp.float32) for _ in range(4)) + (
+            jnp.full((1,), -1.0, jnp.float32),
+        )
+        slab = jnp.zeros((8,), jnp.float32)
+    else:
+        chunk_list, counts, gtables, slab = _shortlist_phase_a(
+            scene, rays, act, th, tw, n_chunks, sl_r
         )
         n_chunks_eff = n_chunks
 
@@ -1007,8 +1403,14 @@ def fold_closest_pallas_shortlist(
         n_w=counts_tbl["n_w_pad"], n_b=counts_tbl["n_b_pad"],
         wall_base=counts_tbl["n_s"],
         box_base=counts_tbl["n_s"] + counts_tbl["n_w"],
-        tiles_w=tw, n_chunks=n_chunks_eff, interpret=interpret,
+        tiles_w=tw, n_chunks=n_chunks_eff, sl_r=sl_r, interpret=interpret,
     )
     if hp != h or wp != w:
         bt, bi = bt[:h, :w], bi[:h, :w]
     return bt, bi
+
+
+# Tag consumed by trace.py closest_hit_soa: this fold family has a sibling
+# kernel (`hit_closest_pallas_shortlist`) emitting the full hit record, so
+# large scenes skip the mm attribute gather on the forward pass.
+fold_closest_pallas_shortlist._emits_hit_record = True

@@ -395,6 +395,55 @@ def _winner_t(
     return t
 
 
+def _kernel_hit_record(scene, o, d, active) -> SoAHit:
+    """SoAHit straight from the Pallas shortlist-hit kernel (forward only)."""
+    from raytracer_tpu.ops.pallas_fold import hit_closest_pallas_shortlist
+
+    (t, bi, hpx, hpy, hpz, hnx, hny, hnz, colr, colg, colb, amb, met, dif,
+     spe, exq) = hit_closest_pallas_shortlist(scene, o, d, active=active)
+    hit = t < MISS_T
+    return SoAHit(
+        t=t, hit=hit, point=V3(hpx, hpy, hpz), normal=V3(hnx, hny, hnz),
+        prim_index=bi, color=V3(colr, colg, colb), ambient=amb,
+        metallic=met, diffuse=dif, specular=spe, specular_exponent=exq,
+    )
+
+
+@jax.custom_vjp
+def _pallas_hit(scene, o, d, active):
+    """Kernel-forward hit record with the `_mm_hit` backward.
+
+    Forward: the shortlist kernel emits the full record in one pass —
+    no separate attribute gather. Backward: differentiate the
+    formula-mirrored `_mm_hit` at the kernel's (t, index) selection
+    (selection itself is gradient-free, like every fold here).
+    """
+    return _kernel_hit_record(scene, o, d, active)
+
+
+def _pallas_hit_fwd(scene, o, d, active):
+    rec = _kernel_hit_record(scene, o, d, active)
+    return rec, (scene, o, d, rec.t, rec.prim_index, active)
+
+
+def _pallas_hit_bwd(res, ct):
+    import numpy as np
+
+    scene, o, d, best_t, best_i, active = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: _mm_hit(a, b, c, best_t, best_i), scene, o, d
+    )
+    g_scene, g_o, g_d = vjp(ct)
+    g_active = (
+        None if active is None
+        else np.zeros(active.shape, dtype=jax.dtypes.float0)
+    )
+    return (g_scene, g_o, g_d, g_active)
+
+
+_pallas_hit.defvjp(_pallas_hit_fwd, _pallas_hit_bwd)
+
+
 def closest_hit_soa(
     scene: Scene,
     o: V3,
@@ -419,6 +468,20 @@ def closest_hit_soa(
 
     sg = jax.lax.stop_gradient
     scene_sg, o_sg, d_sg = jax.tree_util.tree_map(sg, (scene, o, d))
+    if (
+        getattr(fold_fn, "_emits_hit_record", False)
+        and scene.num_primitives >= _MM_GATHER_MIN_PRIMS
+        and _USE_CUSTOM_TAKE
+    ):
+        # The shortlist-hit kernel produces the FULL record in one pass —
+        # the mm attribute gather (~3.2 ms/level at 1080p/1024 spheres)
+        # disappears from the forward; backward still differentiates
+        # _mm_hit via the custom VJP. Falls through to the classic path
+        # under builtin_take_transpose (shard_map inference can't see
+        # through custom_vjp).
+        return _pallas_hit(
+            scene, o, d, None if active is None else sg(active)
+        )
     if fold_fn is None:
         best_t, best_i = fold_closest_jnp(
             scene_sg, o_sg, d_sg, prim_unroll=prim_unroll

@@ -1,6 +1,7 @@
 """Pallas closest-hit megakernel vs the jnp fold (interpret mode on CPU;
 the real-TPU path is exercised by bench.py and the verify drive)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -162,3 +163,79 @@ def test_render_shortlist_fold_matches_jnp_render():
     np.testing.assert_allclose(
         np.asarray(img1), np.asarray(img0), rtol=2e-4, atol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Hit-record kernel: fold + in-kernel winner regather (VERDICT r1 item 1 —
+# removes the mm attribute gather from the large-scene forward pass).
+# ---------------------------------------------------------------------------
+
+
+def test_hit_kernel_matches_mm_hit():
+    """Kernel hit record == _mm_hit at the same selection, on hit lanes.
+
+    Materials must be exact (pure selects of the same table values);
+    t/point/normal are the same formulas modulo FMA fusion, so grazing
+    hits may differ at ~1e-3.
+    """
+    import jax.numpy as jnp
+
+    from raytracer_tpu.core.v3 import V3
+    from raytracer_tpu.models.scenes import mixed_primitive_scene, grid_sphere_scene
+    from raytracer_tpu.ops.pallas_fold import fold_closest_pallas_shortlist
+    from raytracer_tpu.ops.trace import _kernel_hit_record, _mm_hit, raygen_tile
+    from raytracer_tpu.models.scenes import reference_demo_camera
+
+    cam = reference_demo_camera()
+    for scene in (grid_sphere_scene(64), mixed_primitive_scene()):
+        o, d = raygen_tile(cam, 128, 64)
+        bt, bi = fold_closest_pallas_shortlist(scene, o, d, interpret=True)
+        o_b = V3(*[jnp.broadcast_to(c, d.x.shape) for c in o])
+        ref = _mm_hit(scene, o_b, d, bt, bi)
+        rec = _kernel_hit_record(scene, o, d, None)
+        hit = np.asarray(ref.hit)
+        assert np.array_equal(hit, np.asarray(rec.hit))
+        assert np.array_equal(np.asarray(ref.prim_index), np.asarray(rec.prim_index))
+        exact = ["color", "ambient", "metallic", "diffuse", "specular",
+                 "specular_exponent"]
+        for name in exact:
+            a = jax.tree_util.tree_leaves(getattr(ref, name))
+            b = jax.tree_util.tree_leaves(getattr(rec, name))
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(
+                    np.asarray(x)[hit], np.asarray(y)[hit], err_msg=name
+                )
+        for name in ["t", "point", "normal"]:
+            a = jax.tree_util.tree_leaves(getattr(ref, name))
+            b = jax.tree_util.tree_leaves(getattr(rec, name))
+            for x, y in zip(a, b):
+                np.testing.assert_allclose(
+                    np.asarray(x)[hit], np.asarray(y)[hit], atol=2e-3,
+                    err_msg=name,
+                )
+
+
+def test_hit_kernel_render_and_grads_match_jnp_path():
+    """Full render through the kernel-hit path == jnp path; gradients flow
+    through the custom-VJP _mm_hit backward and match the jnp path."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.models.scenes import grid_sphere_scene, reference_demo_camera
+    from raytracer_tpu.render.integrator import render
+
+    cam = reference_demo_camera()
+    scene = grid_sphere_scene(64)
+    W, H = 128, 64
+    ref = np.asarray(render(scene, cam, W, H, depth=2, tonemap=False, fold="jnp"))
+    new = np.asarray(render(scene, cam, W, H, depth=2, tonemap=False, fold="pallas"))
+    np.testing.assert_allclose(new, ref, atol=1e-4)
+
+    def loss(c, fold):
+        s2 = scene.replace(spheres=scene.spheres.replace(center=c))
+        img = render(s2, cam, W, H, depth=2, tonemap=False, fold=fold)
+        return jnp.mean(img ** 2)
+
+    g_jnp = np.asarray(jax.grad(lambda c: loss(c, "jnp"))(scene.spheres.center))
+    g_pal = np.asarray(jax.grad(lambda c: loss(c, "pallas"))(scene.spheres.center))
+    assert np.isfinite(g_pal).all()
+    np.testing.assert_allclose(g_pal, g_jnp, atol=1e-2 * np.abs(g_jnp).max())
