@@ -627,6 +627,8 @@ _SL_R_BOUNCE = 64  # bounce rays diverge and their 64-row tile-union reach
                    # + walls-first best_t tightening instead.
 _AABB_PAD = 1e-3  # conservative inflation absorbing f32 rounding drift
 _GATE_PAD = 1e-2  # bounding-sphere inflation for the in-kernel tube gate
+_PHASE_A_BOUNCE = True  # per-tile shortlists for bounce rays (False = identity
+                        # lists + in-kernel gates only; A/B knob)
 
 
 def _srecip(c):
@@ -838,6 +840,157 @@ def _kernel_shortlist(n_w: int, n_b: int, wall_base: int, box_base: int,
     return kernel
 
 
+def _winner_record_core(
+    sm: dict, t_id, best_t, best_i, n,
+    vox, voy, voz, vdx, vdy, vdz,
+    n_w: int, n_b: int, wall_base: int, box_base: int, n_chunks: int,
+    n_s_pad: int, n_w_pad: int,
+):
+    """Winner attribute regather + hit-record math, shared by the hit and
+    trace kernels.
+
+    Regather = masked selects over ONLY the winners' own shortlisted chunks
+    (cond-gated; most chunks hold no winners) plus the few walls/boxes; the
+    winner t/point/normal math then mirrors trace.py `_mm_hit`
+    formula-for-formula (the training path's custom VJP differentiates
+    `_mm_hit` as the kernels' backward). Returns
+    ``(t, hit, point xyz, normal xyz, color rgb, amb, met, dif, spe, exp)``.
+    """
+    cx, cy, cz = sm["cx"], sm["cy"], sm["cz"]
+    nx, ny, nz = sm["nx"], sm["ny"], sm["nz"]
+    px, py, pz = sm["px"], sm["py"], sm["pz"]
+    bmnx, bmny, bmnz = sm["bmnx"], sm["bmny"], sm["bmnz"]
+    bmxx, bmxy, bmxz = sm["bmxx"], sm["bmxy"], sm["bmxz"]
+    chunk_list, srad = sm["chunk_list"], sm["srad"]
+    mcr, mcg, mcb, mam = sm["mcr"], sm["mcg"], sm["mcb"], sm["mam"]
+    mmt, mdf, msp, mex = sm["mmt"], sm["mdf"], sm["msp"], sm["mex"]
+
+    rows, cols = vox.shape
+    zero = jnp.zeros((rows, cols), jnp.float32)
+    hit = best_t < MISS_T
+    is_sphere = (best_i >= 0) & (best_i < wall_base)
+    is_wall = (best_i >= wall_base) & (best_i < box_base)
+    is_box = best_i >= box_base
+
+    # acc = (gathered geometry g0..g5, 8 materials); meanings per type
+    # mirror trace.py `_packed_table` columns 8-13.
+    acc = (zero,) * 14
+
+    def pick_one(acc, m, vals):
+        return tuple(jnp.where(m, v, a) for a, v in zip(acc, vals))
+
+    def regather_chunk(k, acc):
+        c = chunk_list[t_id * n_chunks + k]
+        base = c * _UNROLL
+        in_chunk = is_sphere & (best_i >= base) & (best_i < base + _UNROLL)
+
+        def do_chunk(acc):
+            for u in range(_UNROLL):
+                idx = base + u
+                m = is_sphere & (best_i == idx)
+                acc = pick_one(acc, m, (
+                    cx[idx], cy[idx], cz[idx], srad[idx], zero, zero,
+                    mcr[idx], mcg[idx], mcb[idx], mam[idx], mmt[idx],
+                    mdf[idx], msp[idx], mex[idx],
+                ))
+            return acc
+
+        return jax.lax.cond(jnp.any(in_chunk), do_chunk, lambda a: a, acc)
+
+    acc = jax.lax.fori_loop(0, jnp.maximum(n, 0), regather_chunk, acc)
+
+    if n_w:
+        def regather_wall(i, acc):
+            m = is_wall & (best_i == wall_base + i)
+            j = n_s_pad + i  # padded material row
+            return pick_one(acc, m, (
+                nx[i], ny[i], nz[i], px[i], py[i], pz[i],
+                mcr[j], mcg[j], mcb[j], mam[j], mmt[j], mdf[j],
+                msp[j], mex[j],
+            ))
+
+        acc = jax.lax.fori_loop(0, jnp.where(n >= 0, n_w, 0),
+                                regather_wall, acc)
+
+    if n_b:
+        def regather_box(i, acc):
+            m = is_box & (best_i == box_base + i)
+            j = n_s_pad + n_w_pad + i
+            return pick_one(acc, m, (
+                bmnx[i], bmny[i], bmnz[i], bmxx[i], bmxy[i], bmxz[i],
+                mcr[j], mcg[j], mcb[j], mam[j], mmt[j], mdf[j],
+                msp[j], mex[j],
+            ))
+
+        acc = jax.lax.fori_loop(0, jnp.where(n >= 0, n_b, 0),
+                                regather_box, acc)
+
+    g0, g1, g2, g3, g4, g5 = acc[:6]
+    colr, colg, colb, amb, met, dif, spe, exq = acc[6:]
+
+    # --- winner t per type (mirrors _mm_hit, trace.py) ---
+    tt = best_t
+    bq = 2.0 * (vdx * (vox - g0) + vdy * (voy - g1) + vdz * (voz - g2))
+    cq = (
+        (vox - g0) * (vox - g0) + (voy - g1) * (voy - g1)
+        + (voz - g2) * (voz - g2) - g3 * g3
+    )
+    det = bq * bq - 4.0 * cq
+    pos = det >= 0.0
+    sq = jnp.sqrt(jnp.where(pos, det, 1.0))
+    t_s = jnp.where(pos, 0.5 * (-bq - sq), 1.0)
+    tt = jnp.where(hit & is_sphere, t_s, tt)
+    if n_w:
+        denom = vdx * g0 + vdy * g1 + vdz * g2
+        ok = jnp.abs(denom) > 1e-12
+        t_w = (
+            (g3 - vox) * g0 + (g4 - voy) * g1 + (g5 - voz) * g2
+        ) / jnp.where(ok, denom, 1.0)
+        tt = jnp.where(hit & is_wall & ok, t_w, tt)
+    if n_b:
+        ivx, ivy, ivz = _srecip(vdx), _srecip(vdy), _srecip(vdz)
+        t_b = jnp.maximum(
+            jnp.maximum(
+                jnp.minimum((g0 - vox) * ivx, (g3 - vox) * ivx),
+                jnp.minimum((g1 - voy) * ivy, (g4 - voy) * ivy),
+            ),
+            jnp.minimum((g2 - voz) * ivz, (g5 - voz) * ivz),
+        )
+        tt = jnp.where(hit & is_box, t_b, tt)
+
+    t_safe = jnp.where(hit, tt, 1.0)
+    hpx = vox + vdx * t_safe
+    hpy = voy + vdy * t_safe
+    hpz = voz + vdz * t_safe
+
+    # --- winner normal per type (mirrors _mm_hit) ---
+    inv_r = 1.0 / jnp.maximum(g3, 1e-12)
+    hnx = (hpx - g0) * inv_r
+    hny = (hpy - g1) * inv_r
+    hnz = (hpz - g2) * inv_r
+    if n_w:
+        hnx = jnp.where(is_sphere, hnx, g0)
+        hny = jnp.where(is_sphere, hny, g1)
+        hnz = jnp.where(is_sphere, hnz, g2)
+    if n_b:
+        ivx, ivy, ivz = _srecip(vdx), _srecip(vdy), _srecip(vdz)
+        tx = (jnp.where(vdx >= 0, g0, g3) - vox) * ivx
+        ty = (jnp.where(vdy >= 0, g1, g4) - voy) * ivy
+        tz = (jnp.where(vdz >= 0, g2, g5) - voz) * ivz
+        bx = (tx >= ty) & (tx >= tz)
+        by = jnp.logical_not(bx) & (ty >= tz)
+        bz = jnp.logical_not(bx) & jnp.logical_not(by)
+        hnx = jnp.where(is_box, jnp.where(bx, -jnp.sign(vdx), 0.0), hnx)
+        hny = jnp.where(is_box, jnp.where(by, -jnp.sign(vdy), 0.0), hny)
+        hnz = jnp.where(is_box, jnp.where(bz, -jnp.sign(vdz), 0.0), hnz)
+    hnx = jnp.where(hit, hnx, 0.0)
+    hny = jnp.where(hit, hny, 0.0)
+    hnz = jnp.where(hit, hnz, 1.0)
+
+    return (tt, hit, hpx, hpy, hpz, hnx, hny, hnz,
+            colr, colg, colb, amb, met, dif, spe, exq)
+
+
 def _kernel_shortlist_hit(n_w: int, n_b: int, wall_base: int, box_base: int,
                           tiles_w: int, n_chunks: int, n_s_pad: int,
                           n_w_pad: int):
@@ -870,6 +1023,8 @@ def _kernel_shortlist_hit(n_w: int, n_b: int, wall_base: int, box_base: int,
             px, py, pz, ln, wd, bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
             chunk_list, counts, gx, gy, gz, gg, gr2, slab,
         )
+        sm.update(srad=srad, mcr=mcr, mcg=mcg, mcb=mcb, mam=mam, mmt=mmt,
+                  mdf=mdf, msp=msp, mex=mex)
         t_id = pl.program_id(0) * tiles_w + pl.program_id(1)
         vox, voy, voz = ox[:], oy[:], oz[:]
         vdx, vdy, vdz = dx[:], dy[:], dz[:]
@@ -880,130 +1035,13 @@ def _kernel_shortlist_hit(n_w: int, n_b: int, wall_base: int, box_base: int,
             n_w, n_b, wall_base, box_base, n_chunks,
         )
 
-        rows, cols = vox.shape
-        zero = jnp.zeros((rows, cols), jnp.float32)
-        hit = best_t < MISS_T
-        is_sphere = (best_i >= 0) & (best_i < wall_base)
-        is_wall = (best_i >= wall_base) & (best_i < box_base)
-        is_box = best_i >= box_base
-
-        # --- winner attribute regather: masked selects over the winners'
-        # own shortlisted chunks only (cond-gated), then walls and boxes ---
-        # acc = (gathered geometry g0..g5, 8 materials); meanings per type
-        # mirror trace.py `_packed_table` columns 8-13.
-        acc = (zero,) * 14
-
-        def pick_one(acc, m, vals):
-            return tuple(jnp.where(m, v, a) for a, v in zip(acc, vals))
-
-        def regather_chunk(k, acc):
-            c = chunk_list[t_id * n_chunks + k]
-            base = c * _UNROLL
-            in_chunk = is_sphere & (best_i >= base) & (best_i < base + _UNROLL)
-
-            def do_chunk(acc):
-                for u in range(_UNROLL):
-                    idx = base + u
-                    m = is_sphere & (best_i == idx)
-                    acc = pick_one(acc, m, (
-                        cx[idx], cy[idx], cz[idx], srad[idx], zero, zero,
-                        mcr[idx], mcg[idx], mcb[idx], mam[idx], mmt[idx],
-                        mdf[idx], msp[idx], mex[idx],
-                    ))
-                return acc
-
-            return jax.lax.cond(jnp.any(in_chunk), do_chunk, lambda a: a, acc)
-
-        acc = jax.lax.fori_loop(0, jnp.maximum(n, 0), regather_chunk, acc)
-
-        if n_w:
-            def regather_wall(i, acc):
-                m = is_wall & (best_i == wall_base + i)
-                j = n_s_pad + i  # padded material row
-                return pick_one(acc, m, (
-                    nx[i], ny[i], nz[i], px[i], py[i], pz[i],
-                    mcr[j], mcg[j], mcb[j], mam[j], mmt[j], mdf[j],
-                    msp[j], mex[j],
-                ))
-
-            acc = jax.lax.fori_loop(0, jnp.where(n >= 0, n_w, 0),
-                                    regather_wall, acc)
-
-        if n_b:
-            def regather_box(i, acc):
-                m = is_box & (best_i == box_base + i)
-                j = n_s_pad + n_w_pad + i
-                return pick_one(acc, m, (
-                    bmnx[i], bmny[i], bmnz[i], bmxx[i], bmxy[i], bmxz[i],
-                    mcr[j], mcg[j], mcb[j], mam[j], mmt[j], mdf[j],
-                    msp[j], mex[j],
-                ))
-
-            acc = jax.lax.fori_loop(0, jnp.where(n >= 0, n_b, 0),
-                                    regather_box, acc)
-
-        g0, g1, g2, g3, g4, g5 = acc[:6]
-        colr, colg, colb, amb, met, dif, spe, exq = acc[6:]
-
-        # --- winner t per type (mirrors _mm_hit, trace.py) ---
-        tt = best_t
-        if True:  # spheres (always present in this kernel's use)
-            bq = 2.0 * (vdx * (vox - g0) + vdy * (voy - g1) + vdz * (voz - g2))
-            cq = (
-                (vox - g0) * (vox - g0) + (voy - g1) * (voy - g1)
-                + (voz - g2) * (voz - g2) - g3 * g3
-            )
-            det = bq * bq - 4.0 * cq
-            pos = det >= 0.0
-            sq = jnp.sqrt(jnp.where(pos, det, 1.0))
-            t_s = jnp.where(pos, 0.5 * (-bq - sq), 1.0)
-            tt = jnp.where(hit & is_sphere, t_s, tt)
-        if n_w:
-            denom = vdx * g0 + vdy * g1 + vdz * g2
-            ok = jnp.abs(denom) > 1e-12
-            t_w = (
-                (g3 - vox) * g0 + (g4 - voy) * g1 + (g5 - voz) * g2
-            ) / jnp.where(ok, denom, 1.0)
-            tt = jnp.where(hit & is_wall & ok, t_w, tt)
-        if n_b:
-            ivx, ivy, ivz = _srecip(vdx), _srecip(vdy), _srecip(vdz)
-            t_b = jnp.maximum(
-                jnp.maximum(
-                    jnp.minimum((g0 - vox) * ivx, (g3 - vox) * ivx),
-                    jnp.minimum((g1 - voy) * ivy, (g4 - voy) * ivy),
-                ),
-                jnp.minimum((g2 - voz) * ivz, (g5 - voz) * ivz),
-            )
-            tt = jnp.where(hit & is_box, t_b, tt)
-
-        t_safe = jnp.where(hit, tt, 1.0)
-        hpx = vox + vdx * t_safe
-        hpy = voy + vdy * t_safe
-        hpz = voz + vdz * t_safe
-
-        # --- winner normal per type (mirrors _mm_hit) ---
-        inv_r = 1.0 / jnp.maximum(g3, 1e-12)
-        hnx = (hpx - g0) * inv_r
-        hny = (hpy - g1) * inv_r
-        hnz = (hpz - g2) * inv_r
-        if n_w:
-            hnx = jnp.where(is_sphere, hnx, g0)
-            hny = jnp.where(is_sphere, hny, g1)
-            hnz = jnp.where(is_sphere, hnz, g2)
-        if n_b:
-            ivx, ivy, ivz = _srecip(vdx), _srecip(vdy), _srecip(vdz)
-            tx = (jnp.where(vdx >= 0, g0, g3) - vox) * ivx
-            ty = (jnp.where(vdy >= 0, g1, g4) - voy) * ivy
-            tz = (jnp.where(vdz >= 0, g2, g5) - voz) * ivz
-            bx = (tx >= ty) & (tx >= tz)
-            by = jnp.logical_not(bx) & (ty >= tz)
-            bz = jnp.logical_not(bx) & jnp.logical_not(by)
-            hnx = jnp.where(is_box, jnp.where(bx, -jnp.sign(vdx), 0.0), hnx)
-            hny = jnp.where(is_box, jnp.where(by, -jnp.sign(vdy), 0.0), hny)
-            hnz = jnp.where(is_box, jnp.where(bz, -jnp.sign(vdz), 0.0), hnz)
-        hnx = jnp.where(hit, hnx, 0.0)
-        hny = jnp.where(hit, hny, 0.0)
-        hnz = jnp.where(hit, hnz, 1.0)
+        rec = _winner_record_core(
+            sm, t_id, best_t, best_i, n,
+            vox, voy, voz, vdx, vdy, vdz,
+            n_w, n_b, wall_base, box_base, n_chunks, n_s_pad, n_w_pad,
+        )
+        (tt, hit, hpx, hpy, hpz, hnx, hny, hnz,
+         colr, colg, colb, amb, met, dif, spe, exq) = rec
 
         t_ref[:] = jnp.where(hit, tt, best_t)
         i_ref[:] = best_i
@@ -1023,6 +1061,284 @@ def _kernel_shortlist_hit(n_w: int, n_b: int, wall_base: int, box_base: int,
         exq_ref[:] = exq
 
     return kernel
+
+
+def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
+                        tiles_w: int, n_chunks: int, n_s_pad: int,
+                        n_w_pad: int, n_pt: int, n_sun: int, is_last: bool):
+    """One FULL trace level in one kernel: fold + winner record + Blinn-
+    Phong shading + sky + throughput/accumulator update + mirror reflection.
+
+    The megakernel form of one iteration of trace.py `trace_soa`'s bounce
+    loop (reference: recursive_ray_tracing, main.cpp:89-119): per ray-tile,
+    everything between two bounce levels happens in VMEM — the 16-field hit
+    record never round-trips HBM and the shading/reflection XLA glue
+    disappears. Shading mirrors `shade_soa`/`background_soa` and the ray
+    update mirrors `trace_soa` so the whole-trace custom VJP (trace.py) can
+    differentiate the XLA implementation at this kernel's selections.
+    """
+
+    def kernel(
+        cx, cy, cz, cr2,
+        nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz, px, py, pz, ln, wd,
+        bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
+        chunk_list, counts, gx, gy, gz, gg, gr2, slab,
+        srad, mcr, mcg, mcb, mam, mmt, mdf, msp, mex,
+        lpx, lpy, lpz, lcr, lcg, lcb,  # point lights [n_pt or 1]
+        sdx, sdy, sdz, scr, scg, scb,  # sun lights (pre-unit dirs)
+        sky,  # [10]: horizon rgb, zenith rgb, ground rgb, gradient exponent
+        ox, oy, oz, dx, dy, dz, w_in, ar_in, ag_in, ab_in,
+        t_ref, i_ref, ar_ref, ag_ref, ab_ref, w_ref,
+        nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref,
+    ):
+        sm = _sm_dict(
+            cx, cy, cz, cr2, nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz,
+            px, py, pz, ln, wd, bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
+            chunk_list, counts, gx, gy, gz, gg, gr2, slab,
+        )
+        sm.update(srad=srad, mcr=mcr, mcg=mcg, mcb=mcb, mam=mam, mmt=mmt,
+                  mdf=mdf, msp=msp, mex=mex)
+        t_id = pl.program_id(0) * tiles_w + pl.program_id(1)
+        vox, voy, voz = ox[:], oy[:], oz[:]
+        vdx, vdy, vdz = dx[:], dy[:], dz[:]
+        w = w_in[:]
+        oo = vox * vox + voy * voy + voz * voz
+        do = vdx * vox + vdy * voy + vdz * voz
+        best_t, best_i, t0, t_ex, seg_ok, n = _shortlist_fold_core(
+            sm, t_id, vox, voy, voz, vdx, vdy, vdz, oo, do, w,
+            n_w, n_b, wall_base, box_base, n_chunks,
+        )
+        (tt, hit, hpx, hpy, hpz, hnx, hny, hnz,
+         colr, colg, colb, amb, met, dif, spe, exq) = _winner_record_core(
+            sm, t_id, best_t, best_i, n,
+            vox, voy, voz, vdx, vdy, vdz,
+            n_w, n_b, wall_base, box_base, n_chunks, n_s_pad, n_w_pad,
+        )
+
+        # --- Blinn-Phong shading (mirrors shade_soa / _light_terms) ---
+        vwx, vwy, vwz = -vdx, -vdy, -vdz
+
+        def light_terms(ldx, ldy, ldz):
+            diffuse = jnp.maximum(ldx * hnx + ldy * hny + ldz * hnz, 0.0)
+            hvx, hvy, hvz = vwx + ldx, vwy + ldy, vwz + ldz
+            n2 = hvx * hvx + hvy * hvy + hvz * hvz
+            hsc = jax.lax.rsqrt(jnp.where(n2 > 1e-12, n2, 1.0))
+            base = jnp.maximum(
+                (hvx * hnx + hvy * hny + hvz * hnz) * hsc, 0.0
+            )
+            base_safe = jnp.where(base > 0.0, base, 1.0)
+            specular = jnp.where(
+                base > 0.0, jnp.exp(exq * jnp.log(base_safe)), 0.0
+            )
+            return diffuse, specular
+
+        ir = jnp.zeros_like(w)
+        ig = jnp.zeros_like(w)
+        ib = jnp.zeros_like(w)
+        for li in range(n_pt):
+            ldx = lpx[li] - hpx
+            ldy = lpy[li] - hpy
+            ldz = lpz[li] - hpz
+            n2 = ldx * ldx + ldy * ldy + ldz * ldz
+            inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-12))
+            diffuse, specular = light_terms(ldx * inv, ldy * inv, ldz * inv)
+            term = diffuse * dif + specular * spe
+            ir = ir + lcr[li] * term
+            ig = ig + lcg[li] * term
+            ib = ib + lcb[li] * term
+        for si in range(n_sun):
+            diffuse, specular = light_terms(
+                jnp.full_like(w, sdx[si]), jnp.full_like(w, sdy[si]),
+                jnp.full_like(w, sdz[si]),
+            )
+            term = diffuse * dif + specular * spe
+            ir = ir + scr[si] * term
+            ig = ig + scg[si] * term
+            ib = ib + scb[si] * term
+        lr = colr * (ir + amb)
+        lg = colg * (ig + amb)
+        lb = colb * (ib + amb)
+
+        # --- sky background (mirrors background_soa) ---
+        z = vdz
+        z_pos = jnp.where(z > 0.0, z, 1.0)
+        grad = jnp.where(z > 0.0, jnp.exp(sky[9] * jnp.log(z_pos)), 0.0)
+        skr = jnp.where(z < 0.0, sky[6], sky[0] + (sky[3] - sky[0]) * grad)
+        skg = jnp.where(z < 0.0, sky[7], sky[1] + (sky[4] - sky[1]) * grad)
+        skb = jnp.where(z < 0.0, sky[8], sky[2] + (sky[5] - sky[2]) * grad)
+
+        # --- accumulate (mirrors trace_soa: front-to-back expansion) ---
+        if is_last:
+            hcr, hcg, hcb = lr, lg, lb
+        else:
+            one_m = 1.0 - met
+            hcr, hcg, hcb = lr * one_m, lg * one_m, lb * one_m
+        take = hit & (w > 0.0)
+        ar_ref[:] = ar_in[:] + jnp.where(take, hcr, skr) * w
+        ag_ref[:] = ag_in[:] + jnp.where(take, hcg, skg) * w
+        ab_ref[:] = ab_in[:] + jnp.where(take, hcb, skb) * w
+
+        t_ref[:] = jnp.where(hit, tt, best_t)
+        i_ref[:] = best_i
+
+        # --- reflect (mirrors trace_soa's ray update) ---
+        w_ref[:] = w * jnp.where(hit, met, 0.0)
+        nox_ref[:] = jnp.where(hit, hpx + hnx * 1e-4, vox)
+        noy_ref[:] = jnp.where(hit, hpy + hny * 1e-4, voy)
+        noz_ref[:] = jnp.where(hit, hpz + hnz * 1e-4, voz)
+        dn2 = 2.0 * (vdx * hnx + vdy * hny + vdz * hnz)
+        ndx_ref[:] = jnp.where(hit, vdx - hnx * dn2, vdx)
+        ndy_ref[:] = jnp.where(hit, vdy - hny * dn2, vdy)
+        ndz_ref[:] = jnp.where(hit, vdz - hnz * dn2, vdz)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_w", "n_b", "wall_base", "box_base", "tiles_w",
+                     "n_chunks", "n_s_pad", "n_w_pad", "n_pt", "n_sun",
+                     "is_last", "sl_r", "interpret"),
+)
+def _trace_level(tables, chunk_list, counts, gtables, slab, mats, lights,
+                 sky, rays, state, *, n_w: int, n_b: int, wall_base: int,
+                 box_base: int, tiles_w: int, n_chunks: int, n_s_pad: int,
+                 n_w_pad: int, n_pt: int, n_sun: int, is_last: bool,
+                 sl_r: int, interpret: bool):
+    h, w = rays[0].shape
+    grid = (h // sl_r, w // _SL_C)
+    spec = pl.BlockSpec(
+        (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=33 + 9 + 13,
+        grid=grid,
+        in_specs=[spec] * 10,
+        out_specs=(spec,) * 12,
+    )
+    f32 = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    return pl.pallas_call(
+        _kernel_trace_level(n_w, n_b, wall_base, box_base, tiles_w,
+                            n_chunks, n_s_pad, n_w_pad, n_pt, n_sun,
+                            is_last),
+        out_shape=(f32, jax.ShapeDtypeStruct((h, w), jnp.int32)) + (f32,) * 10,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*tables, chunk_list, counts, *gtables, slab, *mats, *lights, sky,
+      *rays, *state)
+
+
+def trace_levels_pallas(
+    scene: Scene, o: V3, d: V3, *, depth: int,
+    interpret: bool | None = None,
+):
+    """The whole depth-N trace as a chain of per-level megakernels.
+
+    Per level: XLA builds the per-tile chunk shortlist (phase A) from the
+    previous level's rays/throughput, then ONE kernel folds, regathers,
+    shades, accumulates, and reflects. Returns ``(acc_rgb V3, per-level
+    (t, index) lists)`` — the selections feed the whole-trace custom VJP
+    in trace.py. Selection-only + formula-mirrored, so forward values
+    match the per-level XLA pipeline to f32 fusion tolerance.
+    """
+    if interpret is None:
+        interpret = not pallas_available()
+    sl_r = _SL_R
+    shape = jnp.broadcast_shapes(o.x.shape, d.x.shape)
+    h, w = shape
+    hp = -(-h // sl_r) * sl_r
+    wp = -(-w // _SL_C) * _SL_C
+
+    def prep(c, fill):
+        c = jnp.broadcast_to(c, shape)
+        if hp != h or wp != w:
+            c = jnp.pad(c, ((0, hp - h), (0, wp - w)), constant_values=fill)
+        return c
+
+    rays = (
+        prep(o.x, 0.0), prep(o.y, 0.0), prep(o.z, 0.0),
+        prep(d.x, 0.0), prep(d.y, 0.0), prep(d.z, 1.0),
+    )
+    # Pad lanes carry zero throughput: they never contribute and phase A's
+    # reach statistics ignore them.
+    w_live = jnp.ones((h, w), jnp.float32)
+    if hp != h or wp != w:
+        w_live = jnp.pad(w_live, ((0, hp - h), (0, wp - w)))
+    zero = jnp.zeros((hp, wp), jnp.float32)
+    state = (w_live, zero, zero, zero)
+
+    tables, counts_tbl = _packed_fold_tables(scene)
+    srad, mats, n_s_pad, n_w_pad = _packed_mat_tables(scene, counts_tbl)
+    th, tw = hp // sl_r, wp // _SL_C
+    n_chunks = counts_tbl["n_s_pad"] // _UNROLL if counts_tbl["n_s_pad"] else 0
+
+    # Light + sky scalar tables (pre-unit sun directions, shade_soa parity).
+    lights = scene.lights
+    n_pt = lights.point_position.shape[0]
+    n_sun = lights.sun_color.shape[0]
+
+    def col3(a, k, n):
+        return a[:, k] if n else jnp.zeros((1,), jnp.float32)
+
+    lp, lc = lights.point_position, lights.point_color
+    sun_d = lights.sun_direction
+    if n_sun:
+        sun_d = sun_d * jax.lax.rsqrt(
+            jnp.sum(sun_d * sun_d, axis=-1, keepdims=True)
+        )
+    sc = lights.sun_color
+    light_tbls = (
+        col3(lp, 0, n_pt), col3(lp, 1, n_pt), col3(lp, 2, n_pt),
+        col3(lc, 0, n_pt), col3(lc, 1, n_pt), col3(lc, 2, n_pt),
+        col3(sun_d, 0, n_sun), col3(sun_d, 1, n_sun), col3(sun_d, 2, n_sun),
+        col3(sc, 0, n_sun), col3(sc, 1, n_sun), col3(sc, 2, n_sun),
+    )
+    sky = scene.sky
+    sky_tbl = jnp.concatenate([
+        jnp.asarray(sky.horizon_color, jnp.float32),
+        jnp.asarray(sky.zenith_color, jnp.float32),
+        jnp.asarray(sky.ground_color, jnp.float32),
+        jnp.asarray(sky.gradient_exponent, jnp.float32).reshape(1),
+    ])
+
+    ts, idxs = [], []
+    for k in range(depth + 1):
+        act = state[0] > 0.0
+        if n_chunks == 0:
+            alive = _tile_reduce(act, th, tw, jnp.any, sl_r)
+            counts = jnp.where(alive, 0, -1).astype(jnp.int32).reshape(-1)
+            n_chunks_eff = 1
+            chunk_list = jnp.zeros((th * tw,), jnp.int32)
+            gtables = tuple(
+                jnp.zeros((1,), jnp.float32) for _ in range(4)
+            ) + (jnp.full((1,), -1.0, jnp.float32),)
+            slab = jnp.zeros((8,), jnp.float32)
+        else:
+            chunk_list, counts, gtables, slab = _shortlist_phase_a(
+                scene, rays, act, th, tw, n_chunks, sl_r,
+                per_tile=(k == 0) or _PHASE_A_BOUNCE,
+            )
+            n_chunks_eff = n_chunks
+        outs = _trace_level(
+            tables, chunk_list, counts, gtables, slab, (srad,) + mats,
+            light_tbls, sky_tbl, rays, state,
+            n_w=counts_tbl["n_w_pad"], n_b=counts_tbl["n_b_pad"],
+            wall_base=counts_tbl["n_s"],
+            box_base=counts_tbl["n_s"] + counts_tbl["n_w"],
+            tiles_w=tw, n_chunks=n_chunks_eff, n_s_pad=n_s_pad,
+            n_w_pad=n_w_pad, n_pt=n_pt, n_sun=n_sun,
+            is_last=(k == depth), sl_r=sl_r, interpret=interpret,
+        )
+        t_k, i_k, ar, ag, ab, w_k = outs[:6]
+        rays = rays[:0] + tuple(outs[6:12])
+        state = (w_k, ar, ag, ab)
+        ts.append(t_k[:h, :w] if (hp != h or wp != w) else t_k)
+        idxs.append(i_k[:h, :w] if (hp != h or wp != w) else i_k)
+
+    _, ar, ag, ab = state
+    if hp != h or wp != w:
+        ar, ag, ab = ar[:h, :w], ag[:h, :w], ab[:h, :w]
+    return V3(ar, ag, ab), ts, idxs
 
 
 @functools.partial(
@@ -1091,7 +1407,8 @@ def _tile_reduce(x, th, tw, op, sl_r=_SL_R):
 
 
 def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
-                       n_chunks: int, sl_r: int = _SL_R):
+                       n_chunks: int, sl_r: int = _SL_R,
+                       per_tile: bool = True):
     """Per-tile candidate chunk lists from slab-clipped reach boxes.
 
     Returns ``(chunk_list [th*tw*n_chunks] i32, counts [th*tw] i32,
@@ -1187,6 +1504,17 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
     gr2 = jnp.where(chunk_nonempty, (gr + _GATE_PAD) ** 2, -1.0)
     gtables = (gx, gy, gz, gx * gx + gy * gy + gz * gz, gr2)
     slab = jnp.concatenate([lo, hi, jnp.zeros((2,), jnp.float32)])
+
+    if not per_tile:
+        # Identity shortlist: every tile walks all chunks in Morton order
+        # and relies on the in-kernel best-t tube gates (+ the walls-first
+        # best_t) for rejection — no per-ray reach statistics at all.
+        alive = _tile_reduce(act, th, tw, jnp.any, sl_r)
+        counts = jnp.where(alive, n_chunks, -1).astype(jnp.int32)
+        chunk_list = jnp.broadcast_to(
+            jnp.arange(n_chunks, dtype=jnp.int32), (th * tw, n_chunks)
+        )
+        return chunk_list.reshape(-1), counts.reshape(-1), gtables, slab
 
     # Near-to-far shortlist: sort accepted chunk ids by the distance from
     # the tile's segment-start centroid to the chunk's bounding sphere.
@@ -1317,7 +1645,8 @@ def hit_closest_pallas_shortlist(
         slab = jnp.zeros((8,), jnp.float32)
     else:
         chunk_list, counts, gtables, slab = _shortlist_phase_a(
-            scene, rays, act, th, tw, n_chunks, sl_r
+            scene, rays, act, th, tw, n_chunks, sl_r,
+            per_tile=(active is None) or _PHASE_A_BOUNCE,
         )
         n_chunks_eff = n_chunks
 
@@ -1393,7 +1722,8 @@ def fold_closest_pallas_shortlist(
         slab = jnp.zeros((8,), jnp.float32)
     else:
         chunk_list, counts, gtables, slab = _shortlist_phase_a(
-            scene, rays, act, th, tw, n_chunks, sl_r
+            scene, rays, act, th, tw, n_chunks, sl_r,
+            per_tile=(active is None) or _PHASE_A_BOUNCE,
         )
         n_chunks_eff = n_chunks
 

@@ -20,6 +20,7 @@ reverse-mode never sees 0 * inf.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple
 
 import jax
@@ -974,6 +975,55 @@ def resolve_fold_fn(fold: str, prim_unroll: int, num_prims: int) -> Callable | N
     raise ValueError(f"unknown fold backend: {fold!r}")
 
 
+def _trace_fixed_xla(scene, o, d, ts, idxs, depth):
+    """The XLA bounce loop at FIXED per-level selections (t, index).
+
+    This is exactly ``trace_soa``'s pipeline with each level's closest hit
+    pinned to the megakernel's winners — the function the whole-trace
+    custom VJP differentiates as the megakernel's backward."""
+    level = iter(range(depth + 1))
+
+    def hit_fn(sc, oo, dd, active=None):
+        k = next(level)
+        return _mm_hit(sc, oo, dd, ts[k], idxs[k])
+
+    return trace_soa(scene, o, d, depth=depth, closest_hit_fn=hit_fn)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pallas_trace(scene, o, d, depth):
+    """Whole-trace megakernel forward with the fixed-selection XLA backward.
+
+    Forward: one Pallas kernel per level (fold + winner record + shading +
+    sky + reflection, all in VMEM — ops/pallas_fold.py trace_levels_pallas).
+    Backward: differentiate `_trace_fixed_xla` at the kernels' selections —
+    every fold here is selection-only, so this is the same gradient the
+    per-level mm path computes."""
+    from raytracer_tpu.ops.pallas_fold import trace_levels_pallas
+
+    acc, _, _ = trace_levels_pallas(scene, o, d, depth=depth)
+    return acc
+
+
+def _pallas_trace_fwd(scene, o, d, depth):
+    from raytracer_tpu.ops.pallas_fold import trace_levels_pallas
+
+    acc, ts, idxs = trace_levels_pallas(scene, o, d, depth=depth)
+    return acc, (scene, o, d, ts, idxs)
+
+
+def _pallas_trace_bwd(depth, res, ct):
+    scene, o, d, ts, idxs = res
+    _, vjp = jax.vjp(
+        lambda sc, oo, dd: _trace_fixed_xla(sc, oo, dd, ts, idxs, depth),
+        scene, o, d,
+    )
+    return vjp(ct)
+
+
+_pallas_trace.defvjp(_pallas_trace_fwd, _pallas_trace_bwd)
+
+
 def trace_soa(
     scene: Scene,
     o: V3,
@@ -996,6 +1046,14 @@ def trace_soa(
 
     if closest_hit_fn is None:
         fold_fn = resolve_fold_fn(fold, prim_unroll, scene.num_primitives)
+        if (
+            getattr(fold_fn, "_emits_hit_record", False)
+            and scene.num_primitives >= _MM_GATHER_MIN_PRIMS
+            and _USE_CUSTOM_TAKE
+        ):
+            # Whole-trace megakernel path: one Pallas kernel per level,
+            # fixed-selection XLA backward (see _pallas_trace).
+            return _pallas_trace(scene, o, d, depth)
 
         def closest_hit_fn(sc, oo, dd, active=None):
             return closest_hit_soa(
