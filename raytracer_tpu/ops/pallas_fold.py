@@ -1089,7 +1089,7 @@ def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
         sky,  # [10]: horizon rgb, zenith rgb, ground rgb, gradient exponent
         ox, oy, oz, dx, dy, dz, w_in, ar_in, ag_in, ab_in,
         t_ref, i_ref, ar_ref, ag_ref, ab_ref, w_ref,
-        nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref,
+        nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref, stats_ref,
     ):
         sm = _sm_dict(
             cx, cy, cz, cr2, nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz,
@@ -1182,14 +1182,55 @@ def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
         i_ref[:] = best_i
 
         # --- reflect (mirrors trace_soa's ray update) ---
-        w_ref[:] = w * jnp.where(hit, met, 0.0)
-        nox_ref[:] = jnp.where(hit, hpx + hnx * 1e-4, vox)
-        noy_ref[:] = jnp.where(hit, hpy + hny * 1e-4, voy)
-        noz_ref[:] = jnp.where(hit, hpz + hnz * 1e-4, voz)
+        w_next = w * jnp.where(hit, met, 0.0)
+        nox = jnp.where(hit, hpx + hnx * 1e-4, vox)
+        noy = jnp.where(hit, hpy + hny * 1e-4, voy)
+        noz = jnp.where(hit, hpz + hnz * 1e-4, voz)
         dn2 = 2.0 * (vdx * hnx + vdy * hny + vdz * hnz)
-        ndx_ref[:] = jnp.where(hit, vdx - hnx * dn2, vdx)
-        ndy_ref[:] = jnp.where(hit, vdy - hny * dn2, vdy)
-        ndz_ref[:] = jnp.where(hit, vdz - hnz * dn2, vdz)
+        ndx = jnp.where(hit, vdx - hnx * dn2, vdx)
+        ndy = jnp.where(hit, vdy - hny * dn2, vdy)
+        ndz = jnp.where(hit, vdz - hnz * dn2, vdz)
+        w_ref[:] = w_next
+        nox_ref[:] = nox
+        noy_ref[:] = noy
+        noz_ref[:] = noz
+        ndx_ref[:] = ndx
+        ndy_ref[:] = ndy
+        ndz_ref[:] = ndz
+
+        # --- next-level reach statistics (the per-ray half of phase A,
+        # computed here while the next rays are still in VMEM) ---
+        srow = jnp.zeros((8, _SL_C), jnp.float32)
+        if not is_last:
+            def axis_iv2(o_c, d_c, lo_c, hi_c):
+                inv = _srecip(d_c)
+                t1, t2 = (lo_c - o_c) * inv, (hi_c - o_c) * inv
+                return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+            ex_lo, ex_hi = axis_iv2(nox, ndx, slab[0], slab[3])
+            ey_lo, ey_hi = axis_iv2(noy, ndy, slab[1], slab[4])
+            ez_lo, ez_hi = axis_iv2(noz, ndz, slab[2], slab[5])
+            t0n = jnp.maximum(
+                jnp.maximum(jnp.maximum(ex_lo, ey_lo), ez_lo), 0.0
+            )
+            t_exn = jnp.minimum(jnp.minimum(ex_hi, ey_hi), ez_hi)
+            usedn = (w_next > 0.0) & (t_exn >= t0n) & (t_exn > 0.0)
+            BIG = jnp.float32(1e30)
+            vals = []
+            for o_c, d_c in ((nox, ndx), (noy, ndy), (noz, ndz)):
+                p1 = o_c + t0n * d_c
+                p2 = o_c + t_exn * d_c
+                vals.append(jnp.min(jnp.where(usedn, jnp.minimum(p1, p2), BIG)))
+                vals.append(jnp.max(jnp.where(usedn, jnp.maximum(p1, p2), -BIG)))
+            for o_c, d_c in ((nox, ndx), (noy, ndy), (noz, ndz)):
+                vals.append(jnp.sum(jnp.where(usedn, o_c + t0n * d_c, 0.0)))
+            vals.append(jnp.sum(usedn.astype(jnp.float32)))
+            vals.append(jnp.any(w_next > 0.0).astype(jnp.float32))
+            row = jax.lax.broadcasted_iota(jnp.int32, (8, _SL_C), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (8, _SL_C), 1)
+            for idx, v in enumerate(vals):
+                srow = jnp.where((row == 0) & (lane == idx), v, srow)
+        stats_ref[0, 0] = srow
 
     return kernel
 
@@ -1207,21 +1248,28 @@ def _trace_level(tables, chunk_list, counts, gtables, slab, mats, lights,
                  sl_r: int, interpret: bool):
     h, w = rays[0].shape
     grid = (h // sl_r, w // _SL_C)
+    th, tw = grid
     spec = pl.BlockSpec(
         (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+    )
+    stats_spec = pl.BlockSpec(
+        (1, 1, 8, _SL_C), lambda i, j, *_: (i, j, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=33 + 9 + 13,
         grid=grid,
         in_specs=[spec] * 10,
-        out_specs=(spec,) * 12,
+        out_specs=(spec,) * 12 + (stats_spec,),
     )
     f32 = jax.ShapeDtypeStruct((h, w), jnp.float32)
     return pl.pallas_call(
         _kernel_trace_level(n_w, n_b, wall_base, box_base, tiles_w,
                             n_chunks, n_s_pad, n_w_pad, n_pt, n_sun,
                             is_last),
-        out_shape=(f32, jax.ShapeDtypeStruct((h, w), jnp.int32)) + (f32,) * 10,
+        out_shape=(f32, jax.ShapeDtypeStruct((h, w), jnp.int32))
+        + (f32,) * 10
+        + (jax.ShapeDtypeStruct((th, tw, 8, _SL_C), jnp.float32),),
         grid_spec=grid_spec,
         interpret=interpret,
     )(*tables, chunk_list, counts, *gtables, slab, *mats, *lights, sky,
@@ -1301,10 +1349,16 @@ def trace_levels_pallas(
         jnp.asarray(sky.gradient_exponent, jnp.float32).reshape(1),
     ])
 
+    if n_chunks:
+        c_lo, c_hi, gtables_s, gr_s, slab_s = _chunk_culling_tables(
+            scene, n_chunks
+        )
+
     ts, idxs = [], []
+    prev_stats = None
     for k in range(depth + 1):
-        act = state[0] > 0.0
         if n_chunks == 0:
+            act = state[0] > 0.0
             alive = _tile_reduce(act, th, tw, jnp.any, sl_r)
             counts = jnp.where(alive, 0, -1).astype(jnp.int32).reshape(-1)
             n_chunks_eff = 1
@@ -1313,7 +1367,26 @@ def trace_levels_pallas(
                 jnp.zeros((1,), jnp.float32) for _ in range(4)
             ) + (jnp.full((1,), -1.0, jnp.float32),)
             slab = jnp.zeros((8,), jnp.float32)
+        elif k > 0 and _PHASE_A_BOUNCE:
+            # Bounce shortlists from the PREVIOUS kernel's tile stats — the
+            # per-ray half of phase A already ran in VMEM; XLA only does the
+            # [tiles x chunks] overlap test + near-to-far sort.
+            s0 = prev_stats[:, :, 0, :]
+            cnt = jnp.maximum(s0[..., 9], 1.0)
+            stats = (
+                s0[..., 0] - _AABB_PAD, s0[..., 1] + _AABB_PAD,
+                s0[..., 2] - _AABB_PAD, s0[..., 3] + _AABB_PAD,
+                s0[..., 4] - _AABB_PAD, s0[..., 5] + _AABB_PAD,
+                s0[..., 6] / cnt, s0[..., 7] / cnt, s0[..., 8] / cnt,
+                s0[..., 10] > 0.0,
+            )
+            chunk_list, counts = _phase_a_from_stats(
+                c_lo, c_hi, gtables_s, gr_s, stats, n_chunks
+            )
+            gtables, slab = gtables_s, slab_s
+            n_chunks_eff = n_chunks
         else:
+            act = state[0] > 0.0
             chunk_list, counts, gtables, slab = _shortlist_phase_a(
                 scene, rays, act, th, tw, n_chunks, sl_r,
                 per_tile=(k == 0) or _PHASE_A_BOUNCE,
@@ -1330,7 +1403,8 @@ def trace_levels_pallas(
             is_last=(k == depth), sl_r=sl_r, interpret=interpret,
         )
         t_k, i_k, ar, ag, ab, w_k = outs[:6]
-        rays = rays[:0] + tuple(outs[6:12])
+        rays = tuple(outs[6:12])
+        prev_stats = outs[12]
         state = (w_k, ar, ag, ab)
         ts.append(t_k[:h, :w] if (hp != h or wp != w) else t_k)
         idxs.append(i_k[:h, :w] if (hp != h or wp != w) else i_k)
@@ -1406,6 +1480,90 @@ def _tile_reduce(x, th, tw, op, sl_r=_SL_R):
     return op(x.reshape(th, sl_r, tw, _SL_C), axis=(1, 3))
 
 
+def _chunk_culling_tables(scene: Scene, n_chunks: int):
+    """Scene-only culling tables: chunk AABBs, tube-gate bounding spheres,
+    and the sphere-set slab. Shared by phase A and the stats consumer."""
+    s = scene.spheres
+    n_s = len(s)
+    BIG = jnp.float32(1e30)
+
+    lo = jnp.min(s.center - s.radius[:, None], axis=0) - _AABB_PAD
+    hi = jnp.max(s.center + s.radius[:, None], axis=0) + _AABB_PAD
+
+    pad = n_chunks * _UNROLL - n_s
+    real = jnp.arange(n_chunks * _UNROLL) < n_s
+
+    def padded(x, fill):
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+        return x.reshape(n_chunks, _UNROLL)
+
+    real_m = real.reshape(n_chunks, _UNROLL)
+    c_lo, c_hi = [], []
+    for k in range(3):
+        cmin = jnp.where(real_m, padded(s.center[:, k] - s.radius, 0.0), BIG)
+        cmax = jnp.where(real_m, padded(s.center[:, k] + s.radius, 0.0), -BIG)
+        c_lo.append(cmin.min(axis=1) - _AABB_PAD)
+        c_hi.append(cmax.max(axis=1) + _AABB_PAD)
+
+    # Chunk bounding spheres for the kernel's tube gate: AABB midpoint
+    # center, exact max member reach as radius (+_GATE_PAD for f32 drift
+    # in the kernel's distance polynomial). Empty-pad chunks get r = -1 so
+    # the gate always rejects them (they never appear in shortlists anyway).
+    gx = 0.5 * (c_lo[0] + c_hi[0])
+    gy = 0.5 * (c_lo[1] + c_hi[1])
+    gz = 0.5 * (c_lo[2] + c_hi[2])
+    member_reach = jnp.sqrt(
+        (padded(s.center[:, 0], 0.0) - gx[:, None]) ** 2
+        + (padded(s.center[:, 1], 0.0) - gy[:, None]) ** 2
+        + (padded(s.center[:, 2], 0.0) - gz[:, None]) ** 2
+    ) + padded(s.radius, 0.0)
+    gr = jnp.max(jnp.where(real_m, member_reach, -1.0), axis=1)
+    chunk_nonempty = jnp.any(real_m, axis=1)
+    gr2 = jnp.where(chunk_nonempty, (gr + _GATE_PAD) ** 2, -1.0)
+    gtables = (gx, gy, gz, gx * gx + gy * gy + gz * gz, gr2)
+    slab = jnp.concatenate([lo, hi, jnp.zeros((2,), jnp.float32)])
+    return c_lo, c_hi, gtables, gr, slab
+
+
+def _phase_a_from_stats(c_lo, c_hi, gtables, gr, stats, n_chunks: int):
+    """Per-tile shortlists from TILE-LEVEL reach statistics.
+
+    ``stats`` = (rx_lo, rx_hi, ry_lo, ry_hi, rz_lo, rz_hi, px0, py0, pz0,
+    alive), all [th, tw] — produced either by XLA reductions over the rays
+    (`_shortlist_phase_a`) or by the previous level's megakernel (which
+    already holds the next rays in VMEM)."""
+    BIG = jnp.float32(1e30)
+    rx_lo, rx_hi, ry_lo, ry_hi, rz_lo, rz_hi, px0, py0, pz0, alive = stats
+    gx, gy, gz, _, _ = gtables
+
+    def overlap(r_lo, r_hi, k):
+        return (c_lo[k][None, None, :] <= r_hi[..., None]) & (
+            c_hi[k][None, None, :] >= r_lo[..., None]
+        )
+
+    accept = (
+        overlap(rx_lo, rx_hi, 0)
+        & overlap(ry_lo, ry_hi, 1)
+        & overlap(rz_lo, rz_hi, 2)
+    )  # [th, tw, n_chunks]
+
+    # Near-to-far shortlist: sort accepted chunk ids by the distance from
+    # the tile's segment-start centroid to the chunk's bounding sphere.
+    # Rejected chunks sort to the tail via +BIG keys. Correct for any order
+    # (the kernel tie-breaks on the global index); near-first just makes
+    # best_t tighten early so the tube gate rejects the far tail.
+    dist = jnp.sqrt(
+        (px0[..., None] - gx) ** 2
+        + (py0[..., None] - gy) ** 2
+        + (pz0[..., None] - gz) ** 2
+    ) - gr
+    order = jnp.argsort(jnp.where(accept, dist, BIG), axis=-1)
+    chunk_list = order.astype(jnp.int32)
+    counts = jnp.where(alive, accept.sum(axis=-1).astype(jnp.int32), -1)
+    return chunk_list.reshape(-1), counts.reshape(-1)
+
+
 def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
                        n_chunks: int, sl_r: int = _SL_R,
                        per_tile: bool = True):
@@ -1419,12 +1577,19 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
     All inputs arrive stop-gradiented (the fold is selection-only).
     """
     ox, oy, oz, dx, dy, dz = rays
-    s = scene.spheres
-    n_s = len(s)
+    c_lo, c_hi, gtables, gr, slab = _chunk_culling_tables(scene, n_chunks)
+    lo, hi = slab[:3], slab[3:6]
 
-    # Sphere-set AABB (the "slab" for planar scene layouts).
-    lo = jnp.min(s.center - s.radius[:, None], axis=0) - _AABB_PAD
-    hi = jnp.max(s.center + s.radius[:, None], axis=0) + _AABB_PAD
+    if not per_tile:
+        # Identity shortlist: every tile walks all chunks in Morton order
+        # and relies on the in-kernel best-t tube gates (+ the walls-first
+        # best_t) for rejection — no per-ray reach statistics at all.
+        alive = _tile_reduce(act, th, tw, jnp.any, sl_r)
+        counts = jnp.where(alive, n_chunks, -1).astype(jnp.int32)
+        chunk_list = jnp.broadcast_to(
+            jnp.arange(n_chunks, dtype=jnp.int32), (th * tw, n_chunks)
+        )
+        return chunk_list.reshape(-1), counts.reshape(-1), gtables, slab
 
     # Per-lane clip of the ray against the slab: any sphere hit point lies
     # on the segment [max(t_en, 0), t_ex] (hit points are inside the AABB).
@@ -1459,68 +1624,6 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
     ry_lo, ry_hi = seg_minmax(oy, dy)
     rz_lo, rz_hi = seg_minmax(oz, dz)
 
-    # Chunk AABBs over the real spheres (pad entries masked out).
-    pad = n_chunks * _UNROLL - n_s
-    real = jnp.arange(n_chunks * _UNROLL) < n_s
-
-    def padded(x, fill):
-        if pad:
-            x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
-        return x.reshape(n_chunks, _UNROLL)
-
-    real_m = real.reshape(n_chunks, _UNROLL)
-    c_lo, c_hi = [], []
-    for k in range(3):
-        cmin = jnp.where(real_m, padded(s.center[:, k] - s.radius, 0.0), BIG)
-        cmax = jnp.where(real_m, padded(s.center[:, k] + s.radius, 0.0), -BIG)
-        c_lo.append(cmin.min(axis=1) - _AABB_PAD)
-        c_hi.append(cmax.max(axis=1) + _AABB_PAD)
-
-    def overlap(r_lo, r_hi, k):
-        return (c_lo[k][None, None, :] <= r_hi[..., None]) & (
-            c_hi[k][None, None, :] >= r_lo[..., None]
-        )
-
-    accept = (
-        overlap(rx_lo, rx_hi, 0)
-        & overlap(ry_lo, ry_hi, 1)
-        & overlap(rz_lo, rz_hi, 2)
-    )  # [th, tw, n_chunks]
-
-    # Chunk bounding spheres for the kernel's tube gate: AABB midpoint
-    # center, exact max member reach as radius (+_GATE_PAD for f32 drift
-    # in the kernel's distance polynomial). Empty-pad chunks get r = -1 so
-    # the gate always rejects them (they never appear in shortlists anyway).
-    gx = 0.5 * (c_lo[0] + c_hi[0])
-    gy = 0.5 * (c_lo[1] + c_hi[1])
-    gz = 0.5 * (c_lo[2] + c_hi[2])
-    member_reach = jnp.sqrt(
-        (padded(s.center[:, 0], 0.0) - gx[:, None]) ** 2
-        + (padded(s.center[:, 1], 0.0) - gy[:, None]) ** 2
-        + (padded(s.center[:, 2], 0.0) - gz[:, None]) ** 2
-    ) + padded(s.radius, 0.0)
-    gr = jnp.max(jnp.where(real_m, member_reach, -1.0), axis=1)
-    chunk_nonempty = jnp.any(real_m, axis=1)
-    gr2 = jnp.where(chunk_nonempty, (gr + _GATE_PAD) ** 2, -1.0)
-    gtables = (gx, gy, gz, gx * gx + gy * gy + gz * gz, gr2)
-    slab = jnp.concatenate([lo, hi, jnp.zeros((2,), jnp.float32)])
-
-    if not per_tile:
-        # Identity shortlist: every tile walks all chunks in Morton order
-        # and relies on the in-kernel best-t tube gates (+ the walls-first
-        # best_t) for rejection — no per-ray reach statistics at all.
-        alive = _tile_reduce(act, th, tw, jnp.any, sl_r)
-        counts = jnp.where(alive, n_chunks, -1).astype(jnp.int32)
-        chunk_list = jnp.broadcast_to(
-            jnp.arange(n_chunks, dtype=jnp.int32), (th * tw, n_chunks)
-        )
-        return chunk_list.reshape(-1), counts.reshape(-1), gtables, slab
-
-    # Near-to-far shortlist: sort accepted chunk ids by the distance from
-    # the tile's segment-start centroid to the chunk's bounding sphere.
-    # Rejected chunks sort to the tail via +BIG keys. Correct for any order
-    # (the kernel tie-breaks on the global index); near-first just makes
-    # best_t tighten early so the tube gate rejects the far tail.
     cnt = jnp.maximum(
         _tile_reduce(used.astype(jnp.float32), th, tw, jnp.sum, sl_r), 1.0
     )
@@ -1530,17 +1633,13 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
         return _tile_reduce(p0, th, tw, jnp.sum, sl_r) / cnt
 
     px0, py0, pz0 = centroid(ox, dx), centroid(oy, dy), centroid(oz, dz)
-    dist = jnp.sqrt(
-        (px0[..., None] - gx) ** 2
-        + (py0[..., None] - gy) ** 2
-        + (pz0[..., None] - gz) ** 2
-    ) - gr
-    order = jnp.argsort(jnp.where(accept, dist, BIG), axis=-1)
-    chunk_list = order.astype(jnp.int32)
-
     alive = _tile_reduce(act, th, tw, jnp.any, sl_r)
-    counts = jnp.where(alive, accept.sum(axis=-1).astype(jnp.int32), -1)
-    return chunk_list.reshape(-1), counts.reshape(-1), gtables, slab
+
+    stats = (rx_lo, rx_hi, ry_lo, ry_hi, rz_lo, rz_hi, px0, py0, pz0, alive)
+    chunk_list, counts = _phase_a_from_stats(
+        c_lo, c_hi, gtables, gr, stats, n_chunks
+    )
+    return chunk_list, counts, gtables, slab
 
 
 def _packed_mat_tables(scene: Scene, counts: dict):
