@@ -56,6 +56,18 @@ def pallas_available() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _out_struct(shape, dtype, ref):
+    """ShapeDtypeStruct carrying the input's varying-mesh-axes (vma) set.
+
+    Under `jax.shard_map` (check_vma=True) pallas_call outputs must declare
+    how they vary across mesh axes; outside shard_map the attribute is
+    absent/empty and must not be passed."""
+    vma = getattr(jax.core.get_aval(ref), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _kernel(n_s: int, n_w: int, n_b: int, wall_base: int, box_base: int):
     """Build the fold kernel for a (sphere-count, wall-count) configuration.
 
@@ -208,8 +220,8 @@ def _fold_flat(tables, rays, *, n_s: int, n_w: int, n_b: int, wall_base: int,
     return pl.pallas_call(
         _kernel(n_s, n_w, n_b, wall_base, box_base),
         out_shape=(
-            jax.ShapeDtypeStruct((m, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((m, _LANES), jnp.int32),
+            _out_struct((m, _LANES), jnp.float32, rays[0]),
+            _out_struct((m, _LANES), jnp.int32, rays[0]),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -505,8 +517,8 @@ def _fold_2d(tables, tfar, rays, *, n_s: int, n_w: int, n_b: int,
     return pl.pallas_call(
         _kernel2d(n_s, n_w, n_b, wall_base, box_base),
         out_shape=(
-            jax.ShapeDtypeStruct((h, w), jnp.float32),
-            jax.ShapeDtypeStruct((h, w), jnp.int32),
+            _out_struct((h, w), jnp.float32, rays[0]),
+            _out_struct((h, w), jnp.int32, rays[0]),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1262,14 +1274,14 @@ def _trace_level(tables, chunk_list, counts, gtables, slab, mats, lights,
         in_specs=[spec] * 10,
         out_specs=(spec,) * 12 + (stats_spec,),
     )
-    f32 = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    f32 = _out_struct((h, w), jnp.float32, rays[0])
     return pl.pallas_call(
         _kernel_trace_level(n_w, n_b, wall_base, box_base, tiles_w,
                             n_chunks, n_s_pad, n_w_pad, n_pt, n_sun,
                             is_last),
-        out_shape=(f32, jax.ShapeDtypeStruct((h, w), jnp.int32))
+        out_shape=(f32, _out_struct((h, w), jnp.int32, rays[0]))
         + (f32,) * 10
-        + (jax.ShapeDtypeStruct((th, tw, 8, _SL_C), jnp.float32),),
+        + (_out_struct((th, tw, 8, _SL_C), jnp.float32, rays[0]),),
         grid_spec=grid_spec,
         interpret=interpret,
     )(*tables, chunk_list, counts, *gtables, slab, *mats, *lights, sky,
@@ -1436,11 +1448,11 @@ def _fold_shortlist_hit(tables, chunk_list, counts, gtables, slab, mats,
         in_specs=[spec] * 7,
         out_specs=(spec,) * 16,
     )
-    f32 = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    f32 = _out_struct((h, w), jnp.float32, rays[0])
     return pl.pallas_call(
         _kernel_shortlist_hit(n_w, n_b, wall_base, box_base, tiles_w,
                               n_chunks, n_s_pad, n_w_pad),
-        out_shape=(f32, jax.ShapeDtypeStruct((h, w), jnp.int32)) + (f32,) * 14,
+        out_shape=(f32, _out_struct((h, w), jnp.int32, rays[0])) + (f32,) * 14,
         grid_spec=grid_spec,
         interpret=interpret,
     )(*tables, chunk_list, counts, *gtables, slab, *mats, *rays)
@@ -1468,8 +1480,8 @@ def _fold_shortlist(tables, chunk_list, counts, gtables, slab, rays, *,
     return pl.pallas_call(
         _kernel_shortlist(n_w, n_b, wall_base, box_base, tiles_w, n_chunks),
         out_shape=(
-            jax.ShapeDtypeStruct((h, w), jnp.float32),
-            jax.ShapeDtypeStruct((h, w), jnp.int32),
+            _out_struct((h, w), jnp.float32, rays[0]),
+            _out_struct((h, w), jnp.int32, rays[0]),
         ),
         grid_spec=grid_spec,
         interpret=interpret,

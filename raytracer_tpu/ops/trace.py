@@ -45,6 +45,20 @@ MISS_T = 1e30  # large finite miss sentinel (never inf: inf breeds NaN grads)
 _REFLECT_EPS = 1e-4  # secondary-ray origin offset (reference: main.cpp:111)
 
 
+def _inside_shard_map(x) -> bool:
+    """True when tracing under jax.shard_map (x carries varying mesh axes).
+
+    Pallas kernels cannot run under shard_map's varying-axes checking
+    (mixed-vma scalar-prefetch indexing is rejected), so the Pallas paths
+    fall back to the fused-XLA fold there — the per-shard work is already
+    one device's tile, and the sharded renderer's exactness tests pin that
+    path."""
+    try:
+        return bool(getattr(jax.core.get_aval(x), "vma", None))
+    except Exception:
+        return False
+
+
 class SoAHit(NamedTuple):
     """Per-ray closest hit, all fields in image layout ``[rows, W]``.
 
@@ -930,12 +944,13 @@ def shade_soa(rec: SoAHit, view: V3, lights: Lights) -> V3:
 # ---------------------------------------------------------------------------
 
 
-# Below this many primitives the fully-fused jnp fold beats the Pallas
-# kernel: the kernel boundary costs one extra HBM round trip of the ray
-# tile, which only pays off once the in-VMEM primitive loop is long enough
-# (measured crossover on v5e: jnp 8.6ms vs pallas 11.7ms at 3 prims; pallas
-# ~3x faster at 1024).
-_PALLAS_MIN_PRIMS = 24
+# The whole-trace megakernel (fold + record + shade + reflect per level in
+# one Pallas pass) beats the fused-jnp pipeline at EVERY scene size once
+# shading/reflection moved in-kernel (v5e, 1080p d3: 5.2 vs 7.8 ms on the
+# 3-prim demo; 640x640 d10: 4.0 vs 8.6 ms; 34 vs 59+ ms at 1024 spheres) —
+# the round-1 crossover (jnp faster below ~24 prims) predated the
+# megakernel. Auto now picks Pallas for any non-empty scene on TPU.
+_PALLAS_MIN_PRIMS = 1
 
 
 def resolve_fold_fn(fold: str, prim_unroll: int, num_prims: int) -> Callable | None:
@@ -1045,14 +1060,20 @@ def trace_soa(
     import inspect
 
     if closest_hit_fn is None:
-        fold_fn = resolve_fold_fn(fold, prim_unroll, scene.num_primitives)
+        in_smap = _inside_shard_map(d.x)
+        fold_fn = (
+            None if in_smap
+            else resolve_fold_fn(fold, prim_unroll, scene.num_primitives)
+        )
         if (
             getattr(fold_fn, "_emits_hit_record", False)
-            and scene.num_primitives >= _MM_GATHER_MIN_PRIMS
+            and scene.num_primitives >= 1
             and _USE_CUSTOM_TAKE
         ):
             # Whole-trace megakernel path: one Pallas kernel per level,
-            # fixed-selection XLA backward (see _pallas_trace).
+            # fixed-selection XLA backward (see _pallas_trace). Faster than
+            # the fused-XLA pipeline at every scene size (see
+            # _PALLAS_MIN_PRIMS note).
             return _pallas_trace(scene, o, d, depth)
 
         def closest_hit_fn(sc, oo, dd, active=None):

@@ -127,23 +127,18 @@ def render_sharded_impl(
         if n_prim > 1:
 
             def hit_fn(sc, oo, dd, active=None):
-                # The per-shard fold is the SAME engine as single-device
-                # (auto resolves to the Pallas shortlist kernel when the
-                # local sphere count clears its crossover) — prim sharding
-                # only changes the combine, not the fold.
-                from raytracer_tpu.ops.trace import (
-                    builtin_take_transpose,
-                    resolve_fold_fn,
-                )
+                # Inside shard_map the fold is always the fused-XLA one:
+                # Pallas kernels cannot run under shard_map's varying-axes
+                # checking (trace.py _inside_shard_map) — the per-shard
+                # tile is one device's work either way.
+                from raytracer_tpu.ops.trace import builtin_take_transpose
 
-                fold_fn = resolve_fold_fn(fold, prim_chunk, sc.num_primitives)
                 # Builtin take transpose: shard_map's replication inference
                 # can't see through the custom-VJP matmul backward when the
                 # sphere tables are 'prim'-sharded.
                 with builtin_take_transpose():
                     rec = closest_hit_soa(
-                        sc, oo, dd, prim_unroll=prim_chunk, fold_fn=fold_fn,
-                        active=active,
+                        sc, oo, dd, prim_unroll=prim_chunk, active=active,
                     )
                 rec = _globalize_prim_index(rec, n_s_local, n_s_global, PRIM_AXIS)
                 return _combine_hits(rec, PRIM_AXIS)
