@@ -112,3 +112,37 @@ def test_phase_timer_report_and_save(tmp_path):
     t.save(tmp_path / "frames.log")
     text = (tmp_path / "frames.log").read_text()
     assert "average render time" in text and "# render per-frame seconds" in text
+
+
+def test_cli_render_sharded_mesh(tmp_path):
+    """--mesh PX,PRIM routes the render through the device-mesh path
+    (VERDICT r1 item 4: multi-chip as the product path, not a library
+    corner). Runs on the 8 virtual CPU devices from conftest."""
+    out = tmp_path / "mesh.png"
+    rc = main(
+        ["render", "--scene", "grid", "--n", "8", "--width", "64",
+         "--height", "48", "--depth", "1", "--mesh", "8,1", "-o", str(out)]
+    )
+    assert rc == 0 and out.exists()
+    # sharded output must match the single-device render of the same config
+    single = tmp_path / "single.png"
+    rc = main(
+        ["render", "--scene", "grid", "--n", "8", "--width", "64",
+         "--height", "48", "--depth", "1", "--mesh", "none", "-o", str(single)]
+    )
+    assert rc == 0
+    from PIL import Image
+
+    a = np.asarray(Image.open(out), dtype=np.int16)
+    b = np.asarray(Image.open(single), dtype=np.int16)
+    assert np.abs(a - b).max() <= 1  # u8 quantization of 1-ulp f32 diffs
+
+
+def test_cli_mesh_auto_resolves(tmp_path):
+    """--mesh auto uses every local device (the 8 virtual ones here)."""
+    out = tmp_path / "auto.png"
+    rc = main(
+        ["render", "--scene", "demo", "--width", "64", "--height", "48",
+         "--depth", "1", "--mesh", "auto", "-o", str(out)]
+    )
+    assert rc == 0 and out.exists()
