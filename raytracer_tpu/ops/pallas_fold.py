@@ -1576,6 +1576,13 @@ def _phase_a_from_stats(c_lo, c_hi, gtables, gr, stats, n_chunks: int):
     return chunk_list.reshape(-1), counts.reshape(-1)
 
 
+# Below this many chunks a per-tile shortlist cannot beat the identity
+# list (the kernel's in-kernel gates see the same candidates), so phase A
+# skips its per-ray reach statistics entirely — the 3-prim demo (1 chunk)
+# pays zero phase-A cost per level.
+_PER_TILE_MIN_CHUNKS = 3
+
+
 def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
                        n_chunks: int, sl_r: int = _SL_R,
                        per_tile: bool = True):
@@ -1592,6 +1599,8 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
     c_lo, c_hi, gtables, gr, slab = _chunk_culling_tables(scene, n_chunks)
     lo, hi = slab[:3], slab[3:6]
 
+    if n_chunks < _PER_TILE_MIN_CHUNKS:
+        per_tile = False
     if not per_tile:
         # Identity shortlist: every tile walks all chunks in Morton order
         # and relies on the in-kernel best-t tube gates (+ the walls-first
