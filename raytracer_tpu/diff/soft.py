@@ -342,7 +342,12 @@ def trace_soft(
                 carry = fold_in(carry, alpha, t, payload, t_ref)
             return carry, None
 
-        carry, _ = jax.lax.scan(body, carry, chunks)
+        # Rematerialize: without checkpoint the scan's backward saves every
+        # per-sphere intermediate (alpha/t/point/color per unrolled sphere
+        # per step) — ~70 GB of HBM temps for a 64-sphere 1080p fit step,
+        # a guaranteed OOM on one chip. Recomputing the chunk body in the
+        # backward keeps only the per-step carries.
+        carry, _ = jax.lax.scan(jax.checkpoint(body), carry, chunks)
     else:
         for i in range(n_s):
             alpha, t, point, n = _sphere_alpha_t(scene, i, o, d, tau)
@@ -392,9 +397,14 @@ def trace_soft(
         # shadow acne). Scaling with tau keeps the tau -> 0 limit exact.
         refl_o = p_hat + n_hat * jnp.maximum(_REFLECT_EPS, 6.0 * tau)
         refl_d = d.reflect(n_hat)
-        c_refl = trace_soft(
-            scene, refl_o, refl_d, tau=tau, tau_z=tau_z, depth=depth - 1
-        )
+        # Rematerialize the deeper level: its full streaming pass is
+        # recomputed in the backward instead of storing its intermediates
+        # (memory would otherwise grow with depth).
+        c_refl = jax.checkpoint(
+            lambda sc, oo, dd: trace_soft(
+                sc, oo, dd, tau=tau, tau_z=tau_z, depth=depth - 1
+            )
+        )(scene, refl_o, refl_d)
         fg = (acc["col"] - acc["colmet"]) * inv_s + c_refl * m_hat
     else:
         fg = acc["col"] * inv_s

@@ -951,7 +951,13 @@ def _winner_record_core(
     pos = det >= 0.0
     sq = jnp.sqrt(jnp.where(pos, det, 1.0))
     t_s = jnp.where(pos, 0.5 * (-bq - sq), 1.0)
-    tt = jnp.where(hit & is_sphere, t_s, tt)
+    # `& pos`: at grazing hits the fold's discriminant (half-b form, its
+    # own FMA fusion) can be >=0 while this full-form recompute's is <0 —
+    # selecting the placeholder put the hit point ~t=1 and the resulting
+    # non-unit normal (|n| up to ~80) overflowed base^exponent to inf
+    # (observed: 15 px on a 1080p grid-64 frame). Fall back to the fold's
+    # exact t; mirrors _winner_t/_mm_hit (trace.py) for VJP pairing.
+    tt = jnp.where(hit & is_sphere & pos, t_s, tt)
     if n_w:
         denom = vdx * g0 + vdy * g1 + vdz * g2
         ok = jnp.abs(denom) > 1e-12

@@ -382,8 +382,15 @@ def _winner_t(
         pos = det >= 0.0
         sq = jnp.sqrt(jnp.where(pos, det, 1.0))
         t_s = jnp.where(pos, 0.5 * (-b - sq), 1.0)
+        # `& pos`: at grazing hits the fold's discriminant (different FMA
+        # association) can be >=0 while this recompute's is <0 — selecting
+        # the 1.0 placeholder there puts the hit point far off the surface
+        # and the non-unit normal blows the shading pow up to inf
+        # (observed: ~15 px per 1080p frame on the v5e). Fall back to the
+        # fold's exact t (constant wrt params — zero gradient on a
+        # measure-zero set of grazing pixels).
         is_sphere = hit & (best_i < n_s)
-        t = jnp.where(is_sphere, t_s, t)
+        t = jnp.where(is_sphere & pos, t_s, t)
     if n_w:
         wi = jnp.clip(best_i - n_s, 0, n_w - 1)
         n = _take3(scene.walls.normal, wi)
@@ -487,13 +494,15 @@ def closest_hit_soa(
         getattr(fold_fn, "_emits_hit_record", False)
         and scene.num_primitives >= _MM_GATHER_MIN_PRIMS
         and _USE_CUSTOM_TAKE
+        and not _inside_shard_map(d.x)
     ):
         # The shortlist-hit kernel produces the FULL record in one pass —
         # the mm attribute gather (~3.2 ms/level at 1080p/1024 spheres)
         # disappears from the forward; backward still differentiates
         # _mm_hit via the custom VJP. Falls through to the classic path
         # under builtin_take_transpose (shard_map inference can't see
-        # through custom_vjp).
+        # through custom_vjp) and under shard_map generally (Pallas cannot
+        # run below its varying-axes checking).
         return _pallas_hit(
             scene, o, d, None if active is None else sg(active)
         )
@@ -673,7 +682,9 @@ def _mm_hit(
         pos = det >= 0.0
         sq = jnp.sqrt(jnp.where(pos, det, 1.0))
         t_s = jnp.where(pos, 0.5 * (-bq - sq), 1.0)
-        t = jnp.where(hit & is_sphere, t_s, t)
+        # `& pos`: see _winner_t — fold/recompute FMA disagreement at
+        # grazing hits must fall back to the fold's t, not a placeholder.
+        t = jnp.where(hit & is_sphere & pos, t_s, t)
     if n_w:
         nrm = V3(g[0], g[1], g[2])
         pos_w = V3(g[3], g[4], g[5])
