@@ -153,3 +153,57 @@ def test_mm_hit_matches_take_hit_forward(cam):
     np.testing.assert_allclose(
         np.asarray(img_take), np.asarray(img_mm), rtol=2e-5, atol=2e-6
     )
+
+
+def test_winner_recompute_never_selects_placeholder():
+    """Grazing-hit contract: when the (stop-grad) fold claims a hit but the
+    differentiable winner recompute's own discriminant is negative — FMA
+    association differs between the two — the recompute must fall back to
+    the fold's t, NOT the 1.0 placeholder. The placeholder put the hit
+    point ~t=1, the non-unit normal blew base^exponent up to inf, and every
+    1080p fit target rendered on the TPU carried inf pixels.
+
+    Simulated deterministically: claim a hit on a sphere the ray strictly
+    misses by 1e-4 (recompute det < 0 on every platform), with best_t at
+    the closest approach.
+    """
+    import jax.numpy as jnp
+
+    from raytracer_tpu.core.types import Lights, Materials, Scene, Sky, Spheres
+    from raytracer_tpu.core.v3 import V3
+    from raytracer_tpu.ops.trace import _mm_hit, _winner_t, shade_soa
+
+    r = 0.5
+    miss = 1e-4  # ray passes this far OUTSIDE the sphere
+    scene = Scene.create(
+        spheres=Spheres.create(
+            center=[[5.0, r + miss, 0.0]],
+            radius=[r],
+            material=Materials.create(color=[[1.0, 0.2, 0.2]]),
+        ),
+        lights=Lights.create(
+            point_position=[(0.0, 0.0, 0.0)], point_color=[(1.0, 1.0, 1.0)]
+        ),
+        sky=Sky.create(),
+    )
+    shape = (1, 1)
+    o = V3(*[jnp.zeros(shape) for _ in range(3)])
+    d = V3(jnp.ones(shape), jnp.zeros(shape), jnp.zeros(shape))
+    best_t = jnp.full(shape, 5.0)  # closest approach
+    best_i = jnp.zeros(shape, jnp.int32)
+
+    t = _winner_t(scene, o, d, best_t, best_i)
+    np.testing.assert_allclose(np.asarray(t), 5.0)  # fold t, not 1.0
+
+    rec = _mm_hit(scene, o, d, best_t, best_i)
+    np.testing.assert_allclose(np.asarray(rec.t), 5.0)
+    n_len = float(
+        np.sqrt(
+            np.asarray(rec.normal.x) ** 2
+            + np.asarray(rec.normal.y) ** 2
+            + np.asarray(rec.normal.z) ** 2
+        )[0, 0]
+    )
+    assert n_len < 1.5, n_len  # near-unit, not the far-off-point blowup
+    col = shade_soa(rec, -d, scene.lights)
+    assert np.isfinite(np.asarray(col.stacked())).all()
