@@ -54,7 +54,7 @@ def _inside_shard_map(x) -> bool:
     one device's tile, and the sharded renderer's exactness tests pin that
     path."""
     try:
-        return bool(getattr(jax.core.get_aval(x), "vma", None))
+        return bool(getattr(jax.typeof(x), "vma", None))
     except Exception:
         return False
 
@@ -987,11 +987,6 @@ def resolve_fold_fn(fold: str, prim_unroll: int, num_prims: int) -> Callable | N
         from raytracer_tpu.ops.pallas_fold import fold_closest_pallas_shortlist
 
         return fold_closest_pallas_shortlist
-    if fold == "pallas_cull":
-        # In-kernel reach-box chunk culling (the previous generation).
-        from raytracer_tpu.ops.pallas_fold import fold_closest_pallas_cull
-
-        return fold_closest_pallas_cull
     if fold == "pallas_flat":
         from raytracer_tpu.ops.pallas_fold import fold_closest_pallas
 

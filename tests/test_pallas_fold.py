@@ -54,29 +54,12 @@ def test_pallas_fold_walls_only():
     np.testing.assert_array_equal(np.asarray(bi0), np.asarray(bi1))
 
 
-def test_pallas_cull_fold_matches_jnp():
-    """The tile-culling kernel is bit-compatible (conservative culling)."""
-    from raytracer_tpu.ops.pallas_fold import fold_closest_pallas_cull
-
-    scene = grid_sphere_scene(40, distance=6.0)
-    cam = reference_demo_camera()
-    o, d = raygen_tile(cam, 96, 60)
-    bt0, bi0 = fold_closest_jnp(scene, o, d)
-    bt1, bi1 = fold_closest_pallas_cull(scene, o, d, interpret=True)
-    np.testing.assert_array_equal(np.asarray(bi0), np.asarray(bi1))
-    hit = np.asarray(bt0) < 1e29
-    np.testing.assert_allclose(
-        np.asarray(bt1)[hit], np.asarray(bt0)[hit], rtol=1e-4, atol=1e-4
-    )
-
-
 @pytest.mark.parametrize(
     "scene_fn",
     [
         reference_demo_scene,
         lambda: grid_sphere_scene(5, distance=4.0),
-        lambda: grid_sphere_scene(40, distance=6.0),
-        lambda: grid_sphere_scene(130, distance=8.0),  # chunk-scan sizes
+        lambda: grid_sphere_scene(24, distance=6.0),
     ],
 )
 def test_pallas_shortlist_fold_matches_jnp(scene_fn):
