@@ -45,7 +45,11 @@ def main() -> None:
             s, c.replace(vfov=c.vfov + eps), WIDTH, HEIGHT,
             depth=DEPTH, tonemap=True,
         )
-        return img.sum() * 1e-30  # ~0 chain scalar, forces frame completion
+        t = img.sum() * 1e-30  # ~0 chain scalar, forces frame completion
+        # Sanitize: one inf/NaN pixel would otherwise poison the chained
+        # camera and turn later iterations into degenerate (fast, empty)
+        # NaN renders — benchmarking nothing (see profiler._chain_timed).
+        return jnp.where(jnp.isfinite(t), t, jnp.float32(0))
 
     f = jax.jit(step)
     eps = jnp.float32(0)

@@ -24,6 +24,7 @@ differentiable path re-evaluates the winner's t outside (ops/trace.py's
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,11 +44,10 @@ __all__ = [
 
 _LANES = 128
 _TILE_ROWS = 256  # rays per tile = 256 x 128 = 32768; carries stay in VMEM
-_UNROLL = 16  # spheres per chunk / manual inner unroll (Mosaic fori_loop has
-              # no unroll support). Sweep on v5e, grid-1024 1080p d3 frame:
-              # 8 -> 45.9 ms, 16 -> 34.5 ms, 32 -> 35.3 ms — bigger chunks
-              # halve the per-chunk tube-gate + lax.cond overhead that
-              # dominates divergent bounce tiles.
+# Spheres per chunk / manual inner unroll (Mosaic fori_loop has no unroll
+# support). Env-overridable for process-per-config sweeps (jit caches don't
+# key on module constants, so in-process sweeps silently reuse compile #1).
+_UNROLL = int(os.environ.get("RT_FOLD_UNROLL", "16"))
 
 
 def pallas_available() -> bool:
@@ -373,18 +373,22 @@ def fold_closest_pallas(
 
 _SL_R, _SL_C = 64, 128  # shortlist tile for PRIMARY rays (sweep on v5e:
                         # 64x128 beat 32/128-row and 256-lane tiles)
-_SL_R_BOUNCE = 64  # bounce rays diverge and their 64-row tile-union reach
-                   # boxes shortlist most of the scene (measured median
-                   # 128/128 chunks at level 1 on grid-1024) — but finer
-                   # tiles measured WORSE (16 rows: 59 ms vs 42 ms d3 frame;
-                   # 4x phase-A tiles + 4x SMEM chunk lists + grid steps eat
-                   # the culling gains; 8 rows overflows the compile helper).
-                   # Kept as a knob; the bounce win comes from per-pair cost
-                   # + walls-first best_t tightening instead.
+# Bounce-ray tile rows: bounce rays diverge and their tile-union reach
+# boxes shortlist most of the scene, so finer tiles trade culling gains
+# against 4x phase-A tiles + SMEM chunk lists + grid steps (8 rows
+# overflows the compile helper). NOTE: the pre-2026-08-18 sweeps of this
+# and _PHASE_A_BOUNCE ran through the NaN-poisoned timing chain (empty
+# shortlists) — env-overridable for honest process-per-config re-sweeps.
+_SL_R_BOUNCE = int(os.environ.get("RT_SL_R_BOUNCE", "64"))
 _AABB_PAD = 1e-3  # conservative inflation absorbing f32 rounding drift
 _GATE_PAD = 1e-2  # bounding-sphere inflation for the in-kernel tube gate
-_PHASE_A_BOUNCE = True  # per-tile shortlists for bounce rays (False = identity
-                        # lists + in-kernel gates only; A/B knob)
+_PHASE_A_BOUNCE = os.environ.get("RT_PHASE_A_BOUNCE", "1") != "0"
+# per-tile shortlists for bounce rays (False = identity lists + in-kernel
+# gates only; A/B knob)
+# Row groups for the in-kernel sphere-chunk gate: the (rows, 128) tile is
+# split into this many row slices, each tube-gating + cond-skipping chunks
+# independently (divergent bounce rays rarely agree across 64 rows).
+_GATE_GROUPS = int(os.environ.get("RT_GATE_GROUPS", "1"))
 
 
 def _srecip(c):
@@ -507,44 +511,64 @@ def _shortlist_fold_core(
             (best_t, best_i),
         )
 
-    def sphere_one(idx, carry):
-        bt, bi = carry
-        s = vdx * cx[idx] + vdy * cy[idx] + vdz * cz[idx]
-        m = vox * cx[idx] + voy * cy[idx] + voz * cz[idx]
-        b_half = do - s
-        c_full = oo - 2.0 * m + cr2[idx]
-        disc = b_half * b_half - c_full
-        tt = -b_half - jnp.sqrt(jnp.maximum(disc, 0.0))
-        win = (disc >= 0.0) & (tt > 0.0) & (
-            (tt < bt) | ((tt == bt) & (idx < bi))
+    # Sphere-chunk traversal, gated per ROW GROUP: divergent bounce tiles
+    # rarely agree on chunks across the whole (64,128) tile, so the tube
+    # gate + cond run on (rows/_GATE_GROUPS, 128) slices — each group sweeps
+    # only the chunks IT reaches. _GATE_GROUPS=1 is the whole-tile gate.
+    rows_g = rows // _GATE_GROUPS
+
+    def make_group(g):
+        sl = slice(g * rows_g, (g + 1) * rows_g)
+        ox_s, oy_s, oz_s = vox[sl], voy[sl], voz[sl]
+        dx_s, dy_s, dz_s = vdx[sl], vdy[sl], vdz[sl]
+        oo_s, do_s = oo[sl], do[sl]
+        t0_s, tex_s, ok_s = t0[sl], t_ex[sl], seg_ok[sl]
+
+        def sphere_one(idx, carry):
+            bt, bi = carry
+            s = dx_s * cx[idx] + dy_s * cy[idx] + dz_s * cz[idx]
+            m = ox_s * cx[idx] + oy_s * cy[idx] + oz_s * cz[idx]
+            b_half = do_s - s
+            c_full = oo_s - 2.0 * m + cr2[idx]
+            disc = b_half * b_half - c_full
+            tt = -b_half - jnp.sqrt(jnp.maximum(disc, 0.0))
+            win = (disc >= 0.0) & (tt > 0.0) & (
+                (tt < bt) | ((tt == bt) & (idx < bi))
+            )
+            return jnp.where(win, tt, bt), jnp.where(win, idx, bi)
+
+        def chunk_body(k, carry):
+            bt, bi = carry
+            c = chunk_list[t * n_chunks + k]
+            base = c * _UNROLL
+            # Tube gate: min distance^2 from the chunk's bounding sphere
+            # center to each ray's live segment [t0, min(t_ex, best_t)].
+            s_g = dx_s * gx[c] + dy_s * gy[c] + dz_s * gz[c]
+            m_g = ox_s * gx[c] + oy_s * gy[c] + oz_s * gz[c]
+            t1 = jnp.minimum(tex_s, bt)
+            tc = jnp.clip(s_g - do_s, t0_s, t1)
+            dist2 = oo_s - 2.0 * m_g + gg[c] + tc * (2.0 * (do_s - s_g) + tc)
+            reachable = ok_s & (t1 >= t0_s) & (dist2 <= gr2[c])
+
+            def do_chunk(cr):
+                for u in range(_UNROLL):
+                    cr = sphere_one(base + u, cr)
+                return cr
+
+            return jax.lax.cond(
+                jnp.any(reachable), do_chunk, lambda cr: cr, (bt, bi)
+            )
+
+        return jax.lax.fori_loop(
+            0, jnp.maximum(n, 0), chunk_body, (best_t[sl], best_i[sl])
         )
-        return jnp.where(win, tt, bt), jnp.where(win, idx, bi)
 
-    def chunk_body(k, carry):
-        bt, bi = carry
-        c = chunk_list[t * n_chunks + k]
-        base = c * _UNROLL
-        # Tube gate: min distance^2 from the chunk's bounding sphere
-        # center to each ray's live segment [t0, min(t_ex, best_t)].
-        s_g = vdx * gx[c] + vdy * gy[c] + vdz * gz[c]
-        m_g = vox * gx[c] + voy * gy[c] + voz * gz[c]
-        t1 = jnp.minimum(t_ex, bt)
-        tc = jnp.clip(s_g - do, t0, t1)
-        dist2 = oo - 2.0 * m_g + gg[c] + tc * (2.0 * (do - s_g) + tc)
-        reachable = seg_ok & (t1 >= t0) & (dist2 <= gr2[c])
-
-        def do_chunk(cr):
-            for u in range(_UNROLL):
-                cr = sphere_one(base + u, cr)
-            return cr
-
-        return jax.lax.cond(
-            jnp.any(reachable), do_chunk, lambda cr: cr, (bt, bi)
-        )
-
-    best_t, best_i = jax.lax.fori_loop(
-        0, jnp.maximum(n, 0), chunk_body, (best_t, best_i)
-    )
+    if _GATE_GROUPS == 1:
+        best_t, best_i = make_group(0)
+    else:
+        parts = [make_group(g) for g in range(_GATE_GROUPS)]
+        best_t = jnp.concatenate([p[0] for p in parts], axis=0)
+        best_i = jnp.concatenate([p[1] for p in parts], axis=0)
 
     return best_t, best_i, t0, t_ex, seg_ok, n
 

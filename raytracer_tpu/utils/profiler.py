@@ -87,10 +87,27 @@ class PhaseTimer:
 
 
 def _chain_timed(step: Callable, args, iters: int) -> float:
-    """Seconds/iter: warm once, chain ``iters`` calls by a ~0 scalar, sync once."""
-    f = jax.jit(step)
+    """Seconds/iter: warm once, chain ``iters`` calls by a ~0 scalar, sync once.
+
+    The chained scalar is sanitized: a single inf/NaN pixel in one frame
+    would otherwise propagate through ``eps`` into the next frame's camera,
+    turning iterations 2..N into degenerate NaN renders where every tile is
+    dead — silently benchmarking an empty kernel (observed: the grazing-hit
+    inf bug made grid-1024 1080p "measure" 31 ms when the honest frame time
+    was 57 ms)."""
+
+    def safe_step(*a):
+        s = step(*a)
+        return jnp.where(jnp.isfinite(s), s, jnp.float32(0))
+
+    f = jax.jit(safe_step)
     eps = jnp.float32(0)
-    float(f(*args, eps))  # compile + warm
+    v = float(f(*args, eps))  # compile + warm
+    if not abs(v) < 1e-6:
+        raise RuntimeError(
+            f"_chain_timed: step returned non-~0 chain scalar {v!r}; "
+            "chain steps must return sum()*1e-30-style values"
+        )
     t0 = time.perf_counter()
     for _ in range(iters):
         eps = f(*args, eps)
