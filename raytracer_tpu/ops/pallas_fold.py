@@ -385,10 +385,19 @@ _GATE_PAD = 1e-2  # bounding-sphere inflation for the in-kernel tube gate
 _PHASE_A_BOUNCE = os.environ.get("RT_PHASE_A_BOUNCE", "1") != "0"
 # per-tile shortlists for bounce rays (False = identity lists + in-kernel
 # gates only; A/B knob)
-# Row groups for the in-kernel sphere-chunk gate: the (rows, 128) tile is
-# split into this many row slices, each tube-gating + cond-skipping chunks
-# independently (divergent bounce rays rarely agree across 64 rows).
-_GATE_GROUPS = int(os.environ.get("RT_GATE_GROUPS", "1"))
+# Shortlist granularity INSIDE a tile: the (sl_r, 128) ray tile is split
+# into _SLICES row slices, each with its OWN phase-A chunk shortlist
+# (divergent bounce rays rarely agree across 64 rows, so a whole-tile union
+# shortlist folds ~80% of all chunks — measured via the RT_TUBE_GATE=0 A/B;
+# per-slice lists shrink the traversal loop itself, which per-slice GATING
+# alone [the old RT_GATE_GROUPS knob: 75.9/104.5 ms at 4/8 groups vs 59.2]
+# could not). 8 matches the stats block's 8 rows and the TPU's native
+# (8, 128) vreg tile.
+_SLICES = 8
+# Per-chunk best-t tube gate + lax.cond skip (A/B knob: the cond's scalar
+# control flow stalls the Mosaic vector pipeline; 0 folds every shortlisted
+# chunk unconditionally).
+_TUBE_GATE = os.environ.get("RT_TUBE_GATE", "1") != "0"
 
 
 def _srecip(c):
@@ -405,19 +414,23 @@ def _shortlist_fold_core(
     vox, voy, voz, vdx, vdy, vdz, oo, do, amask,
     n_w: int, n_b: int, wall_base: int, box_base: int, n_chunks: int,
 ):
-    """The shortlist fold: (best_t, best_i, t0, t_ex, seg_ok, n).
+    """The shortlist fold: (best_t, best_i, t0, t_ex, seg_ok, alive).
 
     Shared by the (t, index) kernel and the full-hit-record kernel. ``sm``
-    holds the scalar-prefetch refs by name. Each shortlisted chunk is gated
-    by a best-t-aware per-ray tube test against the chunk's bounding sphere
-    before its 8-sphere fold runs; the sphere fold tie-breaks on the global
-    index so the result is independent of the (near-to-far sorted)
-    traversal order.
+    holds the scalar-prefetch refs by name. The sphere traversal runs per
+    (rows/_SLICES, 128) row SLICE, each over its OWN phase-A shortlist
+    (``counts[t*_SLICES + s]`` entries at ``chunk_list[(t*_SLICES + s) *
+    n_chunks ...]``); each shortlisted chunk is additionally gated by a
+    best-t-aware per-slice tube test against the chunk's bounding sphere
+    before its fold runs. The sphere fold tie-breaks on the global index so
+    the result is independent of the (near-to-far sorted) traversal order.
     """
     cx, cy, cz, cr2 = sm["cx"], sm["cy"], sm["cz"], sm["cr2"]
     chunk_list, counts, slab = sm["chunk_list"], sm["counts"], sm["slab"]
     gx, gy, gz, gg, gr2 = sm["gx"], sm["gy"], sm["gz"], sm["gg"], sm["gr2"]
-    n = counts[t]
+    alive = counts[t * _SLICES] >= 0
+    for s_i in range(1, _SLICES):
+        alive = alive | (counts[t * _SLICES + s_i] >= 0)
     rows, cols = vox.shape
 
     # Per-ray slab clip (same intervals as phase A): any sphere hit lies
@@ -437,7 +450,6 @@ def _shortlist_fold_core(
 
     best_t = jnp.full((rows, cols), MISS_T, jnp.float32)
     best_i = jnp.full((rows, cols), -1, jnp.int32)
-    alive = n >= 0
 
     # Walls and boxes fold FIRST: they are few and cheap, and the best_t
     # they establish (e.g. the floor under a sphere grid) lets the tube
@@ -511,14 +523,16 @@ def _shortlist_fold_core(
             (best_t, best_i),
         )
 
-    # Sphere-chunk traversal, gated per ROW GROUP: divergent bounce tiles
-    # rarely agree on chunks across the whole (64,128) tile, so the tube
-    # gate + cond run on (rows/_GATE_GROUPS, 128) slices — each group sweeps
-    # only the chunks IT reaches. _GATE_GROUPS=1 is the whole-tile gate.
-    rows_g = rows // _GATE_GROUPS
+    # Sphere-chunk traversal per row SLICE: divergent bounce tiles rarely
+    # agree on chunks across the whole (64,128) tile, so each
+    # (rows/_SLICES, 128) slice walks only ITS phase-A shortlist (with the
+    # per-slice tube gate + cond on top).
+    rows_g = max(rows // _SLICES, 1)
 
     def make_group(g):
         sl = slice(g * rows_g, (g + 1) * rows_g)
+        n_g = counts[t * _SLICES + g]
+        list_base = (t * _SLICES + g) * n_chunks
         ox_s, oy_s, oz_s = vox[sl], voy[sl], voz[sl]
         dx_s, dy_s, dz_s = vdx[sl], vdy[sl], vdz[sl]
         oo_s, do_s = oo[sl], do[sl]
@@ -539,8 +553,16 @@ def _shortlist_fold_core(
 
         def chunk_body(k, carry):
             bt, bi = carry
-            c = chunk_list[t * n_chunks + k]
+            c = chunk_list[list_base + k]
             base = c * _UNROLL
+
+            def do_chunk(cr):
+                for u in range(_UNROLL):
+                    cr = sphere_one(base + u, cr)
+                return cr
+
+            if not _TUBE_GATE:
+                return do_chunk((bt, bi))
             # Tube gate: min distance^2 from the chunk's bounding sphere
             # center to each ray's live segment [t0, min(t_ex, best_t)].
             s_g = dx_s * gx[c] + dy_s * gy[c] + dz_s * gz[c]
@@ -550,27 +572,19 @@ def _shortlist_fold_core(
             dist2 = oo_s - 2.0 * m_g + gg[c] + tc * (2.0 * (do_s - s_g) + tc)
             reachable = ok_s & (t1 >= t0_s) & (dist2 <= gr2[c])
 
-            def do_chunk(cr):
-                for u in range(_UNROLL):
-                    cr = sphere_one(base + u, cr)
-                return cr
-
             return jax.lax.cond(
                 jnp.any(reachable), do_chunk, lambda cr: cr, (bt, bi)
             )
 
         return jax.lax.fori_loop(
-            0, jnp.maximum(n, 0), chunk_body, (best_t[sl], best_i[sl])
+            0, jnp.maximum(n_g, 0), chunk_body, (best_t[sl], best_i[sl])
         )
 
-    if _GATE_GROUPS == 1:
-        best_t, best_i = make_group(0)
-    else:
-        parts = [make_group(g) for g in range(_GATE_GROUPS)]
-        best_t = jnp.concatenate([p[0] for p in parts], axis=0)
-        best_i = jnp.concatenate([p[1] for p in parts], axis=0)
+    parts = [make_group(g) for g in range(_SLICES)]
+    best_t = jnp.concatenate([p[0] for p in parts], axis=0)
+    best_i = jnp.concatenate([p[1] for p in parts], axis=0)
 
-    return best_t, best_i, t0, t_ex, seg_ok, n
+    return best_t, best_i, t0, t_ex, seg_ok, alive
 
 
 def _sm_dict(cx, cy, cz, cr2, nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz,
@@ -621,7 +635,7 @@ def _kernel_shortlist(n_w: int, n_b: int, wall_base: int, box_base: int,
 
 
 def _winner_record_core(
-    sm: dict, t_id, best_t, best_i, n,
+    sm: dict, t_id, best_t, best_i, alive,
     vox, voy, voz, vdx, vdy, vdz,
     n_w: int, n_b: int, wall_base: int, box_base: int, n_chunks: int,
     n_s_pad: int, n_w_pad: int,
@@ -629,19 +643,21 @@ def _winner_record_core(
     """Winner attribute regather + hit-record math, shared by the hit and
     trace kernels.
 
-    Regather = masked selects over ONLY the winners' own shortlisted chunks
-    (cond-gated; most chunks hold no winners) plus the few walls/boxes; the
-    winner t/point/normal math then mirrors trace.py `_mm_hit`
-    formula-for-formula (the training path's custom VJP differentiates
-    `_mm_hit` as the kernels' backward). Returns
-    ``(t, hit, point xyz, normal xyz, color rgb, amb, met, dif, spe, exp)``.
+    Regather = masked selects over ONLY the winners' own per-slice
+    shortlisted chunks (cond-gated on winners in THAT row slice; most
+    chunks hold none — a chunk shortlisted by several slices re-selects
+    idempotently) plus the few walls/boxes; the winner t/point/normal math
+    then mirrors trace.py `_mm_hit` formula-for-formula (the training
+    path's custom VJP differentiates `_mm_hit` as the kernels' backward).
+    Returns ``(t, hit, point xyz, normal xyz, color rgb, amb, met, dif,
+    spe, exp)``.
     """
     cx, cy, cz = sm["cx"], sm["cy"], sm["cz"]
     nx, ny, nz = sm["nx"], sm["ny"], sm["nz"]
     px, py, pz = sm["px"], sm["py"], sm["pz"]
     bmnx, bmny, bmnz = sm["bmnx"], sm["bmny"], sm["bmnz"]
     bmxx, bmxy, bmxz = sm["bmxx"], sm["bmxy"], sm["bmxz"]
-    chunk_list, srad = sm["chunk_list"], sm["srad"]
+    chunk_list, counts, srad = sm["chunk_list"], sm["counts"], sm["srad"]
     mcr, mcg, mcb, mam = sm["mcr"], sm["mcg"], sm["mcb"], sm["mam"]
     mmt, mdf, msp, mex = sm["mmt"], sm["mdf"], sm["msp"], sm["mex"]
 
@@ -659,25 +675,40 @@ def _winner_record_core(
     def pick_one(acc, m, vals):
         return tuple(jnp.where(m, v, a) for a, v in zip(acc, vals))
 
-    def regather_chunk(k, acc):
-        c = chunk_list[t_id * n_chunks + k]
-        base = c * _UNROLL
-        in_chunk = is_sphere & (best_i >= base) & (best_i < base + _UNROLL)
+    rows_g = max(rows // _SLICES, 1)
 
-        def do_chunk(acc):
-            for u in range(_UNROLL):
-                idx = base + u
-                m = is_sphere & (best_i == idx)
-                acc = pick_one(acc, m, (
-                    cx[idx], cy[idx], cz[idx], srad[idx], zero, zero,
-                    mcr[idx], mcg[idx], mcb[idx], mam[idx], mmt[idx],
-                    mdf[idx], msp[idx], mex[idx],
-                ))
-            return acc
+    def make_regather(s_i):
+        sl = slice(s_i * rows_g, (s_i + 1) * rows_g)
+        is_sphere_s, best_i_s = is_sphere[sl], best_i[sl]
+        list_base = (t_id * _SLICES + s_i) * n_chunks
 
-        return jax.lax.cond(jnp.any(in_chunk), do_chunk, lambda a: a, acc)
+        def regather_chunk(k, acc):
+            c = chunk_list[list_base + k]
+            base = c * _UNROLL
+            in_chunk = (
+                is_sphere_s & (best_i_s >= base) & (best_i_s < base + _UNROLL)
+            )
 
-    acc = jax.lax.fori_loop(0, jnp.maximum(n, 0), regather_chunk, acc)
+            def do_chunk(acc):
+                for u in range(_UNROLL):
+                    idx = base + u
+                    m = is_sphere & (best_i == idx)
+                    acc = pick_one(acc, m, (
+                        cx[idx], cy[idx], cz[idx], srad[idx], zero, zero,
+                        mcr[idx], mcg[idx], mcb[idx], mam[idx], mmt[idx],
+                        mdf[idx], msp[idx], mex[idx],
+                    ))
+                return acc
+
+            return jax.lax.cond(jnp.any(in_chunk), do_chunk, lambda a: a, acc)
+
+        return regather_chunk
+
+    for s_i in range(_SLICES):
+        n_s = counts[t_id * _SLICES + s_i]
+        acc = jax.lax.fori_loop(
+            0, jnp.maximum(n_s, 0), make_regather(s_i), acc
+        )
 
     if n_w:
         def regather_wall(i, acc):
@@ -689,7 +720,7 @@ def _winner_record_core(
                 msp[j], mex[j],
             ))
 
-        acc = jax.lax.fori_loop(0, jnp.where(n >= 0, n_w, 0),
+        acc = jax.lax.fori_loop(0, jnp.where(alive, n_w, 0),
                                 regather_wall, acc)
 
     if n_b:
@@ -702,7 +733,7 @@ def _winner_record_core(
                 msp[j], mex[j],
             ))
 
-        acc = jax.lax.fori_loop(0, jnp.where(n >= 0, n_b, 0),
+        acc = jax.lax.fori_loop(0, jnp.where(alive, n_b, 0),
                                 regather_box, acc)
 
     g0, g1, g2, g3, g4, g5 = acc[:6]
@@ -816,13 +847,13 @@ def _kernel_shortlist_hit(n_w: int, n_b: int, wall_base: int, box_base: int,
         vdx, vdy, vdz = dx[:], dy[:], dz[:]
         oo = vox * vox + voy * voy + voz * voz
         do = vdx * vox + vdy * voy + vdz * voz
-        best_t, best_i, t0, t_ex, seg_ok, n = _shortlist_fold_core(
+        best_t, best_i, t0, t_ex, seg_ok, alive = _shortlist_fold_core(
             sm, t_id, vox, voy, voz, vdx, vdy, vdz, oo, do, amask[:],
             n_w, n_b, wall_base, box_base, n_chunks,
         )
 
         rec = _winner_record_core(
-            sm, t_id, best_t, best_i, n,
+            sm, t_id, best_t, best_i, alive,
             vox, voy, voz, vdx, vdy, vdz,
             n_w, n_b, wall_base, box_base, n_chunks, n_s_pad, n_w_pad,
         )
@@ -847,6 +878,109 @@ def _kernel_shortlist_hit(n_w: int, n_b: int, wall_base: int, box_base: int,
         exq_ref[:] = exq
 
     return kernel
+
+
+def _reach_stats_rows(slab, ox, oy, oz, dx, dy, dz, w_alive):
+    """(8, _SL_C) PER-SLICE reach statistics — the per-ray half of phase A.
+
+    Row ``s`` holds the stats of row slice ``s`` (rows [s*rows/8,
+    (s+1)*rows/8) of the tile). Lane layout per row: [0..5] clipped-segment
+    reach AABB (x lo/hi, y lo/hi, z lo/hi — RAW, the consumer adds
+    ``_AABB_PAD``), [6..8] sums of segment-start coordinates, [9] used-lane
+    count, [10] slice-alive flag. Consumed by ``_stats_to_phase_a`` +
+    ``_phase_a_from_stats``. Lives in the kernels (trace megakernel for
+    bounce levels; ``_ray_stats`` for level 0) so the [H, W] per-ray
+    intermediates never touch HBM — the pure-XLA formulation of these
+    reductions measured 8.4 ms at 1080p (vs ~0.3 ms in-kernel) on the v5e.
+    """
+    def axis_iv2(o_c, d_c, lo_c, hi_c):
+        inv = _srecip(d_c)
+        t1, t2 = (lo_c - o_c) * inv, (hi_c - o_c) * inv
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    ex_lo, ex_hi = axis_iv2(ox, dx, slab[0], slab[3])
+    ey_lo, ey_hi = axis_iv2(oy, dy, slab[1], slab[4])
+    ez_lo, ez_hi = axis_iv2(oz, dz, slab[2], slab[5])
+    t0n = jnp.maximum(jnp.maximum(jnp.maximum(ex_lo, ey_lo), ez_lo), 0.0)
+    t_exn = jnp.minimum(jnp.minimum(ex_hi, ey_hi), ez_hi)
+    usedn = (w_alive > 0.0) & (t_exn >= t0n) & (t_exn > 0.0)
+    BIG = jnp.float32(1e30)
+    rows = ox.shape[0]
+    rows_g = max(rows // _SLICES, 1)
+    srow = jnp.zeros((8, _SL_C), jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, _SL_C), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, _SL_C), 1)
+    for s_i in range(_SLICES):
+        sl = slice(s_i * rows_g, (s_i + 1) * rows_g)
+        used_s = usedn[sl]
+        t0_s, tex_s = t0n[sl], t_exn[sl]
+        vals = []
+        for o_c, d_c in ((ox[sl], dx[sl]), (oy[sl], dy[sl]),
+                         (oz[sl], dz[sl])):
+            p1 = o_c + t0_s * d_c
+            p2 = o_c + tex_s * d_c
+            vals.append(jnp.min(jnp.where(used_s, jnp.minimum(p1, p2), BIG)))
+            vals.append(jnp.max(jnp.where(used_s, jnp.maximum(p1, p2), -BIG)))
+        for o_c, d_c in ((ox[sl], dx[sl]), (oy[sl], dy[sl]),
+                         (oz[sl], dz[sl])):
+            vals.append(jnp.sum(jnp.where(used_s, o_c + t0_s * d_c, 0.0)))
+        vals.append(jnp.sum(used_s.astype(jnp.float32)))
+        vals.append(jnp.any(w_alive[sl] > 0.0).astype(jnp.float32))
+        for idx, v in enumerate(vals):
+            srow = jnp.where((row == s_i) & (lane == idx), v, srow)
+    return srow
+
+
+def _stats_to_phase_a(s_all):
+    """Unpack kernel-emitted reach stats into `_phase_a_from_stats` inputs.
+
+    ``s_all`` is [th, tw, 8, _SL_C] with one stats row per row SLICE;
+    returns per-slice fields shaped [th, tw, _SLICES]."""
+    s0 = s_all[:, :, :_SLICES, :]
+    cnt = jnp.maximum(s0[..., 9], 1.0)
+    return (
+        s0[..., 0] - _AABB_PAD, s0[..., 1] + _AABB_PAD,
+        s0[..., 2] - _AABB_PAD, s0[..., 3] + _AABB_PAD,
+        s0[..., 4] - _AABB_PAD, s0[..., 5] + _AABB_PAD,
+        s0[..., 6] / cnt, s0[..., 7] / cnt, s0[..., 8] / cnt,
+        s0[..., 10] > 0.0,
+    )
+
+
+def _kernel_ray_stats():
+    def kernel(slab, ox, oy, oz, dx, dy, dz, amask, stats_ref):
+        stats_ref[0, 0] = _reach_stats_rows(
+            slab, ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], amask[:]
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("sl_r", "interpret"))
+def _ray_stats(slab, rays, amask, *, sl_r: int, interpret: bool):
+    """Per-tile reach stats [th, tw, 8, _SL_C] from a padded ray batch."""
+    h, w = rays[0].shape
+    grid = (h // sl_r, w // _SL_C)
+    th, tw = grid
+    spec = pl.BlockSpec(
+        (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+    )
+    stats_spec = pl.BlockSpec(
+        (1, 1, 8, _SL_C), lambda i, j, *_: (i, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[spec] * 7,
+        out_specs=stats_spec,
+    )
+    return pl.pallas_call(
+        _kernel_ray_stats(),
+        out_shape=_out_struct((th, tw, 8, _SL_C), jnp.float32, rays[0]),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(slab, *rays, amask)
 
 
 def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
@@ -890,13 +1024,13 @@ def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
         w = w_in[:]
         oo = vox * vox + voy * voy + voz * voz
         do = vdx * vox + vdy * voy + vdz * voz
-        best_t, best_i, t0, t_ex, seg_ok, n = _shortlist_fold_core(
+        best_t, best_i, t0, t_ex, seg_ok, alive = _shortlist_fold_core(
             sm, t_id, vox, voy, voz, vdx, vdy, vdz, oo, do, w,
             n_w, n_b, wall_base, box_base, n_chunks,
         )
         (tt, hit, hpx, hpy, hpz, hnx, hny, hnz,
          colr, colg, colb, amb, met, dif, spe, exq) = _winner_record_core(
-            sm, t_id, best_t, best_i, n,
+            sm, t_id, best_t, best_i, alive,
             vox, voy, voz, vdx, vdy, vdz,
             n_w, n_b, wall_base, box_base, n_chunks, n_s_pad, n_w_pad,
         )
@@ -986,37 +1120,12 @@ def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
 
         # --- next-level reach statistics (the per-ray half of phase A,
         # computed here while the next rays are still in VMEM) ---
-        srow = jnp.zeros((8, _SL_C), jnp.float32)
-        if not is_last:
-            def axis_iv2(o_c, d_c, lo_c, hi_c):
-                inv = _srecip(d_c)
-                t1, t2 = (lo_c - o_c) * inv, (hi_c - o_c) * inv
-                return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
-
-            ex_lo, ex_hi = axis_iv2(nox, ndx, slab[0], slab[3])
-            ey_lo, ey_hi = axis_iv2(noy, ndy, slab[1], slab[4])
-            ez_lo, ez_hi = axis_iv2(noz, ndz, slab[2], slab[5])
-            t0n = jnp.maximum(
-                jnp.maximum(jnp.maximum(ex_lo, ey_lo), ez_lo), 0.0
+        if is_last:
+            stats_ref[0, 0] = jnp.zeros((8, _SL_C), jnp.float32)
+        else:
+            stats_ref[0, 0] = _reach_stats_rows(
+                slab, nox, noy, noz, ndx, ndy, ndz, w_next
             )
-            t_exn = jnp.minimum(jnp.minimum(ex_hi, ey_hi), ez_hi)
-            usedn = (w_next > 0.0) & (t_exn >= t0n) & (t_exn > 0.0)
-            BIG = jnp.float32(1e30)
-            vals = []
-            for o_c, d_c in ((nox, ndx), (noy, ndy), (noz, ndz)):
-                p1 = o_c + t0n * d_c
-                p2 = o_c + t_exn * d_c
-                vals.append(jnp.min(jnp.where(usedn, jnp.minimum(p1, p2), BIG)))
-                vals.append(jnp.max(jnp.where(usedn, jnp.maximum(p1, p2), -BIG)))
-            for o_c, d_c in ((nox, ndx), (noy, ndy), (noz, ndz)):
-                vals.append(jnp.sum(jnp.where(usedn, o_c + t0n * d_c, 0.0)))
-            vals.append(jnp.sum(usedn.astype(jnp.float32)))
-            vals.append(jnp.any(w_next > 0.0).astype(jnp.float32))
-            row = jax.lax.broadcasted_iota(jnp.int32, (8, _SL_C), 0)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (8, _SL_C), 1)
-            for idx, v in enumerate(vals):
-                srow = jnp.where((row == 0) & (lane == idx), v, srow)
-        stats_ref[0, 0] = srow
 
     return kernel
 
@@ -1145,10 +1254,10 @@ def trace_levels_pallas(
     for k in range(depth + 1):
         if n_chunks == 0:
             act = state[0] > 0.0
-            alive = _tile_reduce(act, th, tw, jnp.any, sl_r)
+            alive = _slice_reduce(act, th, tw, jnp.any, sl_r)
             counts = jnp.where(alive, 0, -1).astype(jnp.int32).reshape(-1)
             n_chunks_eff = 1
-            chunk_list = jnp.zeros((th * tw,), jnp.int32)
+            chunk_list = jnp.zeros((th * tw * _SLICES,), jnp.int32)
             gtables = tuple(
                 jnp.zeros((1,), jnp.float32) for _ in range(4)
             ) + (jnp.full((1,), -1.0, jnp.float32),)
@@ -1157,15 +1266,7 @@ def trace_levels_pallas(
             # Bounce shortlists from the PREVIOUS kernel's tile stats — the
             # per-ray half of phase A already ran in VMEM; XLA only does the
             # [tiles x chunks] overlap test + near-to-far sort.
-            s0 = prev_stats[:, :, 0, :]
-            cnt = jnp.maximum(s0[..., 9], 1.0)
-            stats = (
-                s0[..., 0] - _AABB_PAD, s0[..., 1] + _AABB_PAD,
-                s0[..., 2] - _AABB_PAD, s0[..., 3] + _AABB_PAD,
-                s0[..., 4] - _AABB_PAD, s0[..., 5] + _AABB_PAD,
-                s0[..., 6] / cnt, s0[..., 7] / cnt, s0[..., 8] / cnt,
-                s0[..., 10] > 0.0,
-            )
+            stats = _stats_to_phase_a(prev_stats)
             chunk_list, counts = _phase_a_from_stats(
                 c_lo, c_hi, gtables_s, gr_s, stats, n_chunks
             )
@@ -1176,6 +1277,7 @@ def trace_levels_pallas(
             chunk_list, counts, gtables, slab = _shortlist_phase_a(
                 scene, rays, act, th, tw, n_chunks, sl_r,
                 per_tile=(k == 0) or _PHASE_A_BOUNCE,
+                interpret=interpret,
             )
             n_chunks_eff = n_chunks
         outs = _trace_level(
@@ -1262,8 +1364,11 @@ def _fold_shortlist(tables, chunk_list, counts, gtables, slab, rays, *,
     )(*tables, chunk_list, counts, *gtables, slab, *rays)
 
 
-def _tile_reduce(x, th, tw, op, sl_r=_SL_R):
-    return op(x.reshape(th, sl_r, tw, _SL_C), axis=(1, 3))
+def _slice_reduce(x, th, tw, op, sl_r=_SL_R):
+    """Reduce to [th, tw, _SLICES] — one value per tile ROW SLICE."""
+    rg = max(sl_r // _SLICES, 1)
+    r = op(x.reshape(th, _SLICES, rg, tw, _SL_C), axis=(2, 4))
+    return jnp.moveaxis(r, 1, 2)
 
 
 def _chunk_culling_tables(scene: Scene, n_chunks: int):
@@ -1313,20 +1418,21 @@ def _chunk_culling_tables(scene: Scene, n_chunks: int):
 
 
 def _phase_a_from_stats(c_lo, c_hi, gtables, gr, stats, n_chunks: int):
-    """Per-tile shortlists from TILE-LEVEL reach statistics.
+    """Per-SLICE shortlists from slice-level reach statistics.
 
     ``stats`` = (rx_lo, rx_hi, ry_lo, ry_hi, rz_lo, rz_hi, px0, py0, pz0,
-    alive), all [th, tw] — produced either by XLA reductions over the rays
-    (`_shortlist_phase_a`) or by the previous level's megakernel (which
-    already holds the next rays in VMEM)."""
+    alive), all [th, tw, _SLICES] — produced either by XLA reductions over
+    the rays (`_shortlist_phase_a`) or by the kernels' in-VMEM stats rows
+    (`_ray_stats` for level 0; the trace megakernel for bounce levels).
+    Returns flat ``chunk_list``/``counts`` in C order — entry
+    ``(i*tw + j)*_SLICES + s`` is tile (i, j) slice s, matching the
+    kernels' SMEM indexing."""
     BIG = jnp.float32(1e30)
     rx_lo, rx_hi, ry_lo, ry_hi, rz_lo, rz_hi, px0, py0, pz0, alive = stats
     gx, gy, gz, _, _ = gtables
 
     def overlap(r_lo, r_hi, k):
-        return (c_lo[k][None, None, :] <= r_hi[..., None]) & (
-            c_hi[k][None, None, :] >= r_lo[..., None]
-        )
+        return (c_lo[k] <= r_hi[..., None]) & (c_hi[k] >= r_lo[..., None])
 
     accept = (
         overlap(rx_lo, rx_hi, 0)
@@ -1359,7 +1465,8 @@ _PER_TILE_MIN_CHUNKS = 3
 
 def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
                        n_chunks: int, sl_r: int = _SL_R,
-                       per_tile: bool = True):
+                       per_tile: bool = True,
+                       interpret: bool | None = None):
     """Per-tile candidate chunk lists from slab-clipped reach boxes.
 
     Returns ``(chunk_list [th*tw*n_chunks] i32, counts [th*tw] i32,
@@ -1368,21 +1475,40 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
     the padded sphere-set AABB. Each tile's shortlist is sorted near-to-far
     from the tile's segment-start centroid so best_t tightens early.
     All inputs arrive stop-gradiented (the fold is selection-only).
+
+    On a real TPU backend the per-ray reach statistics run in the
+    ``_ray_stats`` Pallas kernel (XLA materializes the [H, W] clip
+    intermediates through HBM: 8.4 ms at 1080p vs ~0.3 ms in-kernel); the
+    pure-XLA path remains for interpret/CPU runs. Both compute identical
+    min/max stats — only f32 summation order (the sort-key centroid) can
+    differ, and the fold is traversal-order independent.
     """
     ox, oy, oz, dx, dy, dz = rays
     c_lo, c_hi, gtables, gr, slab = _chunk_culling_tables(scene, n_chunks)
     lo, hi = slab[:3], slab[3:6]
+    if interpret is None:
+        interpret = not pallas_available()
 
     if n_chunks < _PER_TILE_MIN_CHUNKS:
         per_tile = False
+    if per_tile and not interpret:
+        s_all = _ray_stats(
+            slab, rays, act.astype(jnp.float32), sl_r=sl_r, interpret=False
+        )
+        stats = _stats_to_phase_a(s_all)
+        chunk_list, counts = _phase_a_from_stats(
+            c_lo, c_hi, gtables, gr, stats, n_chunks
+        )
+        return chunk_list, counts, gtables, slab
     if not per_tile:
-        # Identity shortlist: every tile walks all chunks in Morton order
+        # Identity shortlist: every slice walks all chunks in Morton order
         # and relies on the in-kernel best-t tube gates (+ the walls-first
         # best_t) for rejection — no per-ray reach statistics at all.
-        alive = _tile_reduce(act, th, tw, jnp.any, sl_r)
+        alive = _slice_reduce(act, th, tw, jnp.any, sl_r)
         counts = jnp.where(alive, n_chunks, -1).astype(jnp.int32)
         chunk_list = jnp.broadcast_to(
-            jnp.arange(n_chunks, dtype=jnp.int32), (th * tw, n_chunks)
+            jnp.arange(n_chunks, dtype=jnp.int32),
+            (th * tw * _SLICES, n_chunks),
         )
         return chunk_list.reshape(-1), counts.reshape(-1), gtables, slab
 
@@ -1411,8 +1537,8 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
         p_lo = jnp.where(used, jnp.minimum(p1, p2), BIG)
         p_hi = jnp.where(used, jnp.maximum(p1, p2), -BIG)
         return (
-            _tile_reduce(p_lo, th, tw, jnp.min, sl_r) - _AABB_PAD,
-            _tile_reduce(p_hi, th, tw, jnp.max, sl_r) + _AABB_PAD,
+            _slice_reduce(p_lo, th, tw, jnp.min, sl_r) - _AABB_PAD,
+            _slice_reduce(p_hi, th, tw, jnp.max, sl_r) + _AABB_PAD,
         )
 
     rx_lo, rx_hi = seg_minmax(ox, dx)
@@ -1420,15 +1546,15 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
     rz_lo, rz_hi = seg_minmax(oz, dz)
 
     cnt = jnp.maximum(
-        _tile_reduce(used.astype(jnp.float32), th, tw, jnp.sum, sl_r), 1.0
+        _slice_reduce(used.astype(jnp.float32), th, tw, jnp.sum, sl_r), 1.0
     )
 
     def centroid(o_c, d_c):
         p0 = jnp.where(used, o_c + t0 * d_c, 0.0)
-        return _tile_reduce(p0, th, tw, jnp.sum, sl_r) / cnt
+        return _slice_reduce(p0, th, tw, jnp.sum, sl_r) / cnt
 
     px0, py0, pz0 = centroid(ox, dx), centroid(oy, dy), centroid(oz, dz)
-    alive = _tile_reduce(act, th, tw, jnp.any, sl_r)
+    alive = _slice_reduce(act, th, tw, jnp.any, sl_r)
 
     stats = (rx_lo, rx_hi, ry_lo, ry_hi, rz_lo, rz_hi, px0, py0, pz0, alive)
     chunk_list, counts = _phase_a_from_stats(
@@ -1529,10 +1655,10 @@ def hit_closest_pallas_shortlist(
     n_chunks = counts_tbl["n_s_pad"] // _UNROLL if counts_tbl["n_s_pad"] else 0
 
     if n_chunks == 0:
-        alive = _tile_reduce(act, th, tw, jnp.any, sl_r)
+        alive = _slice_reduce(act, th, tw, jnp.any, sl_r)
         counts = jnp.where(alive, 0, -1).astype(jnp.int32).reshape(-1)
         n_chunks_eff = 1
-        chunk_list = jnp.zeros((th * tw * n_chunks_eff,), jnp.int32)
+        chunk_list = jnp.zeros((th * tw * _SLICES,), jnp.int32)
         gtables = tuple(jnp.zeros((1,), jnp.float32) for _ in range(4)) + (
             jnp.full((1,), -1.0, jnp.float32),
         )
@@ -1541,6 +1667,7 @@ def hit_closest_pallas_shortlist(
         chunk_list, counts, gtables, slab = _shortlist_phase_a(
             scene, rays, act, th, tw, n_chunks, sl_r,
             per_tile=(active is None) or _PHASE_A_BOUNCE,
+            interpret=interpret,
         )
         n_chunks_eff = n_chunks
 
@@ -1606,10 +1733,10 @@ def fold_closest_pallas_shortlist(
 
     if n_chunks == 0:
         # No spheres: every tile folds walls/boxes brute-force (alive gate).
-        alive = _tile_reduce(act, th, tw, jnp.any, sl_r)
+        alive = _slice_reduce(act, th, tw, jnp.any, sl_r)
         counts = jnp.where(alive, 0, -1).astype(jnp.int32).reshape(-1)
         n_chunks_eff = 1
-        chunk_list = jnp.zeros((th * tw * n_chunks_eff,), jnp.int32)
+        chunk_list = jnp.zeros((th * tw * _SLICES,), jnp.int32)
         gtables = tuple(jnp.zeros((1,), jnp.float32) for _ in range(4)) + (
             jnp.full((1,), -1.0, jnp.float32),
         )
@@ -1618,6 +1745,7 @@ def fold_closest_pallas_shortlist(
         chunk_list, counts, gtables, slab = _shortlist_phase_a(
             scene, rays, act, th, tw, n_chunks, sl_r,
             per_tile=(active is None) or _PHASE_A_BOUNCE,
+            interpret=interpret,
         )
         n_chunks_eff = n_chunks
 
