@@ -9,14 +9,18 @@ primary rays/s on a v5e-8 (BASELINE.json), i.e. 0.125e9 per chip;
 ``vs_baseline`` is measured single-chip throughput over the per-chip target,
 scaled by the local chip count.
 
-Timing method: one warmup (compile), then ``ITERS`` frames chained through a
-scalar data dependency (each frame's camera is nudged by the previous
-frame's ~0 checksum) with a single device sync at the end — per-call
-``block_until_ready`` through the remote-dispatch tunnel measures round-trip
-latency, not device time.
+Timing method (stall-proof, VERDICT r2 item 1): every number is the MEDIAN
+of N>=3 independent timing chains. Each chain links its frames through a ~0
+scalar data dependency (per-call ``block_until_ready`` through the remote-
+dispatch tunnel measures round-trip latency, not device time) and syncs
+once. The relay this TPU sits behind has intermittent multi-minute stalls;
+a chain whose wall time exceeds 2x the median of its siblings is treated as
+stalled and re-run (bounded retries). Per-chain spreads are reported in
+``*_chains`` keys so the artifact shows its own noise floor.
 """
 
 import json
+import statistics
 import time
 
 import jax
@@ -32,7 +36,28 @@ from raytracer_tpu.models import scenes
 
 WIDTH, HEIGHT, DEPTH = 1920, 1080, 3
 ITERS = 20
+CHAINS = 3
 BASELINE_RAYS_PER_CHIP = 1e9 / 8  # north star: 1e9 on a v5e-8
+
+
+def median_chains(run_chain, n=CHAINS, retries=2):
+    """Median of n independent chain timings, re-running stalled chains.
+
+    ``run_chain() -> float`` (ms or s — units preserved). A chain is
+    "stalled" when its value exceeds 2x the median of the other chains
+    (the relay's multi-minute hiccups poison exactly one chain at a time);
+    stalled chains are re-run up to ``retries`` times, then the median is
+    taken over whatever survived.
+    """
+    vals = [run_chain() for _ in range(n)]
+    for _ in range(retries):
+        med = statistics.median(vals)
+        bad = [i for i, v in enumerate(vals) if v > 2.0 * med]
+        if not bad:
+            break
+        for i in bad:
+            vals[i] = run_chain()
+    return statistics.median(vals), [round(v, 3) for v in vals]
 
 
 def main() -> None:
@@ -52,23 +77,27 @@ def main() -> None:
         return jnp.where(jnp.isfinite(t), t, jnp.float32(0))
 
     f = jax.jit(step)
-    eps = jnp.float32(0)
-    float(f(scene, camera, eps))  # compile + warm
+    eps0 = jnp.float32(0)
+    float(f(scene, camera, eps0))  # compile + warm
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        eps = f(scene, camera, eps)
-    float(eps)  # one sync for the whole chain
-    dt = (time.perf_counter() - t0) / ITERS
+    def headline_chain():
+        eps = eps0
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            eps = f(scene, camera, eps)
+        float(eps)  # one sync for the whole chain
+        return (time.perf_counter() - t0) / ITERS * 1e3  # ms/frame
 
-    rays_per_s = WIDTH * HEIGHT / dt
+    frame_ms, headline_chains = median_chains(headline_chain)
+    rays_per_s = WIDTH * HEIGHT / (frame_ms * 1e-3)
 
     # Secondary metrics, each guarded so it can never break the headline
     # line, and budgeted so a relay stall can't starve the driver of the
     # artifact. bwd/fwd is measured WHERE IT HURTS (VERDICT r1 item 5):
     # the flagship 1080p/3-bounce frame on both the <32-prim custom-VJP
     # path (demo scene) and the >=32-prim mm-gather path (grid-64), plus
-    # large-scene frame times (1024 spheres at 1080p/3 and the c5 4K/4).
+    # large-scene frame times (1024 spheres at 1080p/3 and the c5 4K/4)
+    # and the BASELINE config-4 soft fit step (VERDICT r2 item 6).
     import os
 
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
@@ -78,56 +107,54 @@ def main() -> None:
     def within_budget() -> bool:
         return time.perf_counter() - start < budget_s
 
-    def extra(key, fn):
+    def extra(key, fn, chains=CHAINS):
         if not within_budget():
             return
         try:
-            extras[key] = fn()
+            med, vals = median_chains(fn, n=chains)
+            extras[key] = round(med, 3)
+            if max(vals) > 1.2 * min(vals):
+                extras[key + "_chains"] = vals  # show the noise floor
         except Exception:
             extras[key] = float("nan")
 
     from raytracer_tpu.utils.profiler import (
+        benchmark_fit_step,
         benchmark_forward_backward,
         benchmark_render,
     )
 
     extra(
         "bwd_fwd_ratio",  # flagship: 3-prim demo, custom-VJP take backward
-        lambda: round(
-            benchmark_forward_backward(
-                scene, camera, WIDTH, HEIGHT, depth=DEPTH, iters=3
-            )["bwd_fwd_ratio"],
-            3,
-        ),
+        lambda: benchmark_forward_backward(
+            scene, camera, WIDTH, HEIGHT, depth=DEPTH, iters=3
+        )["bwd_fwd_ratio"],
     )
     grid64 = scenes.grid_sphere_scene(64)
     extra(
         "bwd_fwd_ratio_grid64",  # >=32 prims: the mm-gather backward
-        lambda: round(
-            benchmark_forward_backward(
-                grid64, camera, WIDTH, HEIGHT, depth=DEPTH, iters=3
-            )["bwd_fwd_ratio"],
-            3,
-        ),
+        lambda: benchmark_forward_backward(
+            grid64, camera, WIDTH, HEIGHT, depth=DEPTH, iters=3
+        )["bwd_fwd_ratio"],
     )
     grid1024 = scenes.grid_sphere_scene(1024)
     extra(
         "frame_ms_1024sphere_1080p_d3",  # VERDICT r1 item 1 artifact
-        lambda: round(
-            benchmark_render(
-                grid1024, camera, WIDTH, HEIGHT, depth=DEPTH, iters=5
-            )["frame_ms"],
-            2,
-        ),
+        lambda: benchmark_render(
+            grid1024, camera, WIDTH, HEIGHT, depth=DEPTH, iters=5
+        )["frame_ms"],
     )
     extra(
         "frame_ms_c5_4k_1024sphere_d4",  # BASELINE config 5 artifact
-        lambda: round(
-            benchmark_render(
-                grid1024, camera, 3840, 2160, depth=4, iters=3
-            )["frame_ms"],
-            2,
-        ),
+        lambda: benchmark_render(
+            grid1024, camera, 3840, 2160, depth=4, iters=3
+        )["frame_ms"],
+    )
+    extra(
+        "fit_step_ms_c4",  # BASELINE config 4: soft fit step, 1080p/64 sph
+        lambda: benchmark_fit_step(
+            grid64, camera, WIDTH, HEIGHT, depth=1, soft=True, iters=3
+        )["step_ms"],
     )
 
     print(
@@ -137,7 +164,8 @@ def main() -> None:
                 "value": rays_per_s,
                 "unit": "rays/s",
                 "vs_baseline": rays_per_s / BASELINE_RAYS_PER_CHIP,
-                "frame_ms": dt * 1e3,
+                "frame_ms": frame_ms,
+                "frame_ms_chains": headline_chains,
                 "chips": n_chips,
                 **extras,
             }

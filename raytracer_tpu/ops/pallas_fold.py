@@ -386,18 +386,33 @@ _PHASE_A_BOUNCE = os.environ.get("RT_PHASE_A_BOUNCE", "1") != "0"
 # per-tile shortlists for bounce rays (False = identity lists + in-kernel
 # gates only; A/B knob)
 # Shortlist granularity INSIDE a tile: the (sl_r, 128) ray tile is split
-# into _SLICES row slices, each with its OWN phase-A chunk shortlist
-# (divergent bounce rays rarely agree across 64 rows, so a whole-tile union
-# shortlist folds ~80% of all chunks — measured via the RT_TUBE_GATE=0 A/B;
-# per-slice lists shrink the traversal loop itself, which per-slice GATING
-# alone [the old RT_GATE_GROUPS knob: 75.9/104.5 ms at 4/8 groups vs 59.2]
-# could not). 8 matches the stats block's 8 rows and the TPU's native
-# (8, 128) vreg tile.
-_SLICES = 8
+# into _SLICES row slices, each with its OWN phase-A chunk shortlist.
+# Honest process-per-config sweep (2026-08-19, grid-1024 1080p d3, v5e,
+# 3 chains each): 1 -> 60.4 ms, 2 -> 76.4, 4 -> 107.4, 8 -> 164.0.
+# Per-slice shortlists are a pure LOSS at every granularity — the
+# per-slice traversal loops multiply scalar control flow and phase-A sort
+# work faster than tighter slice reach boxes cull chunks (the round-2
+# "divergent bounce rays" rationale was committed unbenchmarked and caused
+# the BENCH_r02 164 ms regression). Default 1 = one whole-tile shortlist
+# per (sl_r, 128) tile. Env-overridable for sweeps only (jit caches don't
+# key on module constants; sweep process-per-config); must divide the
+# row-tile heights and be <= 8 (the stats block has 8 rows).
+_SLICES = int(os.environ.get("RT_SLICES", "1"))
+assert _SLICES in (1, 2, 4, 8), f"RT_SLICES must be 1/2/4/8, got {_SLICES}"
 # Per-chunk best-t tube gate + lax.cond skip (A/B knob: the cond's scalar
 # control flow stalls the Mosaic vector pipeline; 0 folds every shortlisted
 # chunk unconditionally).
 _TUBE_GATE = os.environ.get("RT_TUBE_GATE", "1") != "0"
+
+
+def _check_sl_r(sl_r: int) -> int:
+    """Row-tile heights must split evenly into _SLICES row slices."""
+    if sl_r % _SLICES != 0:
+        raise ValueError(
+            f"row tile height {sl_r} is not a multiple of _SLICES={_SLICES} "
+            "(RT_SLICES / RT_SL_R_BOUNCE are inconsistent)"
+        )
+    return sl_r
 
 
 def _srecip(c):
@@ -1186,7 +1201,7 @@ def trace_levels_pallas(
     """
     if interpret is None:
         interpret = not pallas_available()
-    sl_r = _SL_R
+    sl_r = _check_sl_r(_SL_R)
     shape = jnp.broadcast_shapes(o.x.shape, d.x.shape)
     h, w = shape
     hp = -(-h // sl_r) * sl_r
@@ -1623,7 +1638,7 @@ def hit_closest_pallas_shortlist(
     if sl_r is None:
         # Bounce calls arrive with an `active` mask; their rays diverge, so
         # finer tiles keep the per-tile reach boxes (and shortlists) tight.
-        sl_r = _SL_R if active is None else _SL_R_BOUNCE
+        sl_r = _check_sl_r(_SL_R if active is None else _SL_R_BOUNCE)
     shape = jnp.broadcast_shapes(o.x.shape, d.x.shape)
     h, w = shape
     hp = -(-h // sl_r) * sl_r
@@ -1701,7 +1716,7 @@ def fold_closest_pallas_shortlist(
     if sl_r is None:
         # Bounce calls arrive with an `active` mask; their rays diverge, so
         # finer tiles keep the per-tile reach boxes (and shortlists) tight.
-        sl_r = _SL_R if active is None else _SL_R_BOUNCE
+        sl_r = _check_sl_r(_SL_R if active is None else _SL_R_BOUNCE)
     shape = jnp.broadcast_shapes(o.x.shape, d.x.shape)
     h, w = shape
     hp = -(-h // sl_r) * sl_r

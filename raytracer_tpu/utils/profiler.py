@@ -28,6 +28,7 @@ __all__ = [
     "PhaseTimer",
     "benchmark_render",
     "benchmark_forward_backward",
+    "benchmark_fit_step",
     "benchmark_scaling",
 ]
 
@@ -220,6 +221,43 @@ def benchmark_forward_backward(
         "bwd_fwd_ratio": t_bwd / t_fwd if t_fwd > 0 else float("inf"),
         "fwdbwd_over_fwd": t_both / t_fwd if t_fwd > 0 else float("inf"),
     }
+
+
+def benchmark_fit_step(
+    scene: Scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    *,
+    depth: int = 1,
+    soft: bool = True,
+    iters: int = 3,
+    mesh=None,
+) -> dict:
+    """Wall time of one differentiable-fit training step (BASELINE config 4).
+
+    One ``make_fit_step`` step = forward render + backward + Adam update;
+    ``soft=True`` is the geometry-fit path (soft visibility, diff/soft.py).
+    Steps chain naturally through the optimizer state (step ``i`` consumes
+    step ``i-1``'s parameters), so no artificial chain scalar is needed —
+    warm once, run ``iters`` steps, sync once on the last loss.
+    """
+    from raytracer_tpu.parallel.train import make_fit_step
+
+    init_fn, step_fn = make_fit_step(
+        width, height, mesh=mesh, depth=depth, soft=soft
+    )
+    target = jnp.zeros((height, width, 3), jnp.float32)
+    state = init_fn(scene)
+    state, loss = step_fn(state, scene, camera, target)  # compile + warm
+    float(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step_fn(state, scene, camera, target)
+    float(loss)  # syncs the whole chain: state_i depends on state_{i-1}
+    dt = (time.perf_counter() - t0) / iters
+    return {"step_ms": dt * 1e3, "soft": soft, "depth": depth}
 
 
 def benchmark_scaling(
