@@ -72,6 +72,9 @@ def _build_parser() -> argparse.ArgumentParser:
     v.add_argument("--max-cols", type=int, default=100)
     v.add_argument("--frames", type=int, default=0, help="exit after N frames")
     v.add_argument("--log", default=None, help="write frame-time .log on exit")
+    v.add_argument("--test-pattern", action="store_true",
+                   help="show the TEXTURE_TEST debug gradient instead of "
+                        "the scene (reference main.cpp:13,212-221)")
 
     sub.add_parser("configs", help="list the BASELINE configurations")
     return p
@@ -209,7 +212,7 @@ def cmd_view(args) -> int:
     if args.width is None:
         cfg = cfg.replace(width=256, height=192, depth=min(cfg.depth, 3))
     return run_viewer(cfg, max_cols=args.max_cols, max_frames=args.frames,
-                      log_path=args.log)
+                      log_path=args.log, test_pattern=args.test_pattern)
 
 
 def cmd_configs(_args) -> int:

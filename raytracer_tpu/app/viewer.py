@@ -44,8 +44,20 @@ def _read_key(timeout: float) -> str | None:
     return ch
 
 
+def test_pattern_frame(width: int, height: int) -> np.ndarray:
+    """The reference's ``TEXTURE_TEST`` debug gradient (main.cpp:13,212-221):
+    red fixed at 1, green ramps with x / width, blue with y / height."""
+    x = np.linspace(0.0, 1.0, width, endpoint=False, dtype=np.float32)
+    y = np.linspace(0.0, 1.0, height, endpoint=False, dtype=np.float32)
+    img = np.empty((height, width, 3), np.float32)
+    img[..., 0] = 1.0
+    img[..., 1] = x[None, :]
+    img[..., 2] = y[:, None]
+    return img
+
+
 def run_viewer(cfg: RenderConfig, *, max_cols: int = 100, max_frames: int = 0,
-               log_path=None) -> int:
+               log_path=None, test_pattern: bool = False) -> int:
     import jax
 
     from raytracer_tpu.io.native import load_native
@@ -53,6 +65,7 @@ def run_viewer(cfg: RenderConfig, *, max_cols: int = 100, max_frames: int = 0,
 
     scene = cfg.build_scene()
     camera = cfg.build_camera()
+    camera0 = camera  # for the `r` reset binding (main.cpp:286-288)
 
     lib = load_native()
     timer = lib.rt_timer_new() if lib else None
@@ -91,7 +104,10 @@ def run_viewer(cfg: RenderConfig, *, max_cols: int = 100, max_frames: int = 0,
     try:
         while True:
             with timed("raytracing"):
-                img = np.asarray(render_fn(scene, camera))
+                if test_pattern:  # TEXTURE_TEST mode (main.cpp:13,212-221)
+                    img = test_pattern_frame(cfg.width, cfg.height)
+                else:
+                    img = np.asarray(render_fn(scene, camera))
             with timed("present"):
                 frame = term_frame(img, max_width=max_cols)
                 sys.stdout.write("\x1b[H" + frame)
@@ -104,7 +120,9 @@ def run_viewer(cfg: RenderConfig, *, max_cols: int = 100, max_frames: int = 0,
             key = _read_key(0.01)
             if key == "q":  # main.cpp:296-298
                 break
-            if key in _KEY_ACTIONS:
+            if key == "r":  # camera reset (main.cpp:286-288 binds `r`;
+                camera = camera0  # its body is commented out — ours works)
+            elif key in _KEY_ACTIONS:
                 camera = apply_action(camera, _KEY_ACTIONS[key])
             elif key == ",":
                 camera = rotate_left_right(camera, 0.1)

@@ -360,6 +360,12 @@ class Camera:
     lookat: jnp.ndarray  # f32[3]
     vup: jnp.ndarray  # f32[3]
     vfov: jnp.ndarray  # f32[] vertical field of view, degrees
+    # Per-camera movement step, a scene datum like the reference's
+    # ``Camera::movement_speed`` (scene.h:95, set to 0.1 at main.cpp:149) —
+    # a pytree leaf, so it is configurable per config and differentiable.
+    movement_speed: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: _f32(0.1)
+    )  # f32[]
 
     @staticmethod
     def create(
@@ -367,12 +373,14 @@ class Camera:
         lookat=(-1.0, 0.0, 0.0),
         vup=(0.0, 0.0, -1.0),
         vfov=90.0,
+        movement_speed=0.1,
     ) -> "Camera":
         return Camera(
             position=_f32(position),
             lookat=_f32(lookat),
             vup=_f32(vup),
             vfov=_f32(vfov),
+            movement_speed=_f32(movement_speed),
         )
 
 

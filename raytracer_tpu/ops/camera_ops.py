@@ -42,6 +42,13 @@ __all__ = [
 DEFAULT_SPEED = 0.1  # reference: cam.movement_speed = 0.1 (main.cpp:149)
 
 
+def _speed(cam: Camera, speed):
+    """Resolve a step size: explicit arg wins, else the camera's own
+    ``movement_speed`` leaf (reference: scene.h:95 stores speed ON the
+    camera; main.cpp:149 sets it)."""
+    return cam.movement_speed if speed is None else speed
+
+
 def _look(cam: Camera) -> jnp.ndarray:
     return cam.lookat - cam.position
 
@@ -50,13 +57,13 @@ def _translate(cam: Camera, delta: jnp.ndarray) -> Camera:
     return cam.replace(position=cam.position + delta, lookat=cam.lookat + delta)
 
 
-def move_forward(cam: Camera, speed: float = DEFAULT_SPEED) -> Camera:
+def move_forward(cam: Camera, speed: float | None = None) -> Camera:
     """Step along the view direction (scene.cpp:120-122)."""
-    return _translate(cam, math3.normalize(_look(cam)) * speed)
+    return _translate(cam, math3.normalize(_look(cam)) * _speed(cam, speed))
 
 
-def move_backward(cam: Camera, speed: float = DEFAULT_SPEED) -> Camera:
-    return _translate(cam, -math3.normalize(_look(cam)) * speed)
+def move_backward(cam: Camera, speed: float | None = None) -> Camera:
+    return _translate(cam, -math3.normalize(_look(cam)) * _speed(cam, speed))
 
 
 def _right_vec(cam: Camera) -> jnp.ndarray:
@@ -64,12 +71,12 @@ def _right_vec(cam: Camera) -> jnp.ndarray:
     return math3.normalize(math3.cross(_look(cam), cam.vup))
 
 
-def move_right(cam: Camera, speed: float = DEFAULT_SPEED) -> Camera:
-    return _translate(cam, _right_vec(cam) * speed)
+def move_right(cam: Camera, speed: float | None = None) -> Camera:
+    return _translate(cam, _right_vec(cam) * _speed(cam, speed))
 
 
-def move_left(cam: Camera, speed: float = DEFAULT_SPEED) -> Camera:
-    return _translate(cam, -_right_vec(cam) * speed)
+def move_left(cam: Camera, speed: float | None = None) -> Camera:
+    return _translate(cam, -_right_vec(cam) * _speed(cam, speed))
 
 
 def _set_look(cam: Camera, new_dir: jnp.ndarray) -> Camera:
@@ -115,7 +122,7 @@ _ACTIONS = {
 }
 
 
-def apply_action(cam: Camera, action: str, speed: float = DEFAULT_SPEED) -> Camera:
+def apply_action(cam: Camera, action: str, speed: float | None = None) -> Camera:
     """Keyboard-style camera control (the WASD loop, main.cpp:253-307)."""
     try:
         return _ACTIONS[action](cam, speed)

@@ -73,6 +73,29 @@ def test_cli_view_noninteractive(capsys):
     assert "average raytracing time" in out  # exit report (main.cpp:384-392)
 
 
+def test_cli_view_test_pattern(capsys):
+    """TEXTURE_TEST mode (reference main.cpp:13,212-221): the debug
+    gradient replaces the scene render."""
+    rc = main(
+        ["view", "--scene", "demo", "--width", "48", "--height", "36",
+         "--depth", "1", "--frames", "1", "--max-cols", "32",
+         "--test-pattern"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "\x1b[38;2;255;" in out  # red channel pinned at 255
+
+
+def test_texture_test_pattern_values():
+    from raytracer_tpu.app.viewer import test_pattern_frame
+
+    img = test_pattern_frame(64, 32)
+    assert img.shape == (32, 64, 3)
+    # main.cpp:219: (255, x/W*255, y/H*255)
+    assert np.all(img[..., 0] == 1.0)
+    assert np.allclose(img[4, 16], [1.0, 16 / 64, 4 / 32])
+
+
 def test_fit_driver_smoke(tmp_path, capsys):
     rc = main(
         ["fit", "--scene", "grid", "--n", "4", "--width", "48", "--height", "36",

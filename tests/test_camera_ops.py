@@ -48,6 +48,22 @@ def test_pitch_clamps_past_vertical():
     np.testing.assert_allclose(look2, look1, atol=1e-5)
 
 
+def test_movement_speed_is_camera_datum():
+    """Speed lives ON the camera (scene.h:95, main.cpp:149), not a module
+    constant: a camera built with movement_speed=0.25 steps 0.25 when no
+    explicit speed is passed, and an explicit argument still wins."""
+    c = Camera.create(
+        position=(0.0, 0.0, 0.0), lookat=(-1.0, 0.0, 0.0),
+        vup=(0.0, 0.0, -1.0), vfov=90.0, movement_speed=0.25,
+    )
+    c2 = camera_ops.apply_action(c, "forward")
+    np.testing.assert_allclose(np.asarray(c2.position), [-0.25, 0, 0], atol=1e-6)
+    c3 = camera_ops.move_forward(c, 0.1)  # explicit arg overrides
+    np.testing.assert_allclose(np.asarray(c3.position), [-0.1, 0, 0], atol=1e-6)
+    # default matches the reference's cam.movement_speed = 0.1
+    np.testing.assert_allclose(float(_cam().movement_speed), 0.1, rtol=1e-6)
+
+
 def test_actions_keep_render_finite():
     from raytracer_tpu.models.scenes import reference_demo_scene
     from raytracer_tpu.render.integrator import render
