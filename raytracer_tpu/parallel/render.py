@@ -113,32 +113,27 @@ def render_sharded_impl(
         # Frame anchors use the TRUE height so sharding never changes the
         # frustum; pad rows sample past the bottom edge and are cropped off.
         o, d = raygen_tile(camera, width, height, row_offset=row0, rows=rows)
-        # Rays meet prim-sharded scene data each bounce: mark them varying
-        # over the full mesh so shard_map's varying-axes checking accepts
-        # the fold/scan carries. Origins broadcast from the replicated
-        # camera (unvarying); directions already vary over px.
-        o = jax.tree_util.tree_map(
-            lambda c: jax.lax.pcast(c, (PX_AXIS, PRIM_AXIS), to="varying"), o
-        )
-        d = jax.tree_util.tree_map(
-            lambda c: jax.lax.pcast(c, (PRIM_AXIS,), to="varying"), d
-        )
 
         if n_prim > 1:
 
             def hit_fn(sc, oo, dd, active=None):
-                # Inside shard_map the fold is always the fused-XLA one:
-                # Pallas kernels cannot run under shard_map's varying-axes
-                # checking (trace.py _inside_shard_map) — the per-shard
-                # tile is one device's work either way.
-                from raytracer_tpu.ops.trace import builtin_take_transpose
+                from raytracer_tpu.ops.trace import (
+                    builtin_take_transpose,
+                    resolve_fold_fn,
+                )
 
-                # Builtin take transpose: shard_map's replication inference
-                # can't see through the custom-VJP matmul backward when the
-                # sphere tables are 'prim'-sharded.
+                # Each prim-shard folds ITS spheres with the full engine
+                # (the Pallas shortlist fold on TPU — check_vma=False on
+                # the shard_map is what admits pallas_call here); the
+                # per-shard winners then combine with an O(record) psum.
+                fold_fn = resolve_fold_fn(fold, prim_chunk, n_s_local)
+                # Builtin take transpose: shard_map's transpose machinery
+                # can't see through the custom-VJP matmul backward when
+                # the sphere tables are 'prim'-sharded.
                 with builtin_take_transpose():
                     rec = closest_hit_soa(
-                        sc, oo, dd, prim_unroll=prim_chunk, active=active,
+                        sc, oo, dd, prim_unroll=prim_chunk,
+                        fold_fn=fold_fn, active=active,
                     )
                 rec = _globalize_prim_index(rec, n_s_local, n_s_global, PRIM_AXIS)
                 return _combine_hits(rec, PRIM_AXIS)
@@ -157,11 +152,19 @@ def render_sharded_impl(
         # certifies replication over 'prim' and keeps gradients exact.
         return jax.lax.psum(img, PRIM_AXIS) / n_prim
 
+    # check_vma=False: varying-axes checking rejects pallas_call's mixed
+    # replicated-scalar-prefetch + varying-ray operands, which would force
+    # every shard onto the slower fused-XLA fold (round-2 VERDICT item 4).
+    # Without it the megakernel engine runs per shard; collectives
+    # (axis_index, the O(record) hit-combine psum, and the gradient psum
+    # from the replicated in-spec transpose) are unchanged, and the
+    # sharded == single-device exactness tests pin the semantics.
     sharded = jax.shard_map(
         local_render,
         mesh=mesh,
         in_specs=(scene_pspecs(), P()),
         out_specs=P(PX_AXIS, None, None),
+        check_vma=False,
     )
     img = sharded(scene, camera)
     return img[:height] if h_pad != height else img
@@ -246,6 +249,7 @@ def render_soft_sharded_impl(
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=P(PX_AXIS, None, None),
+        check_vma=False,  # see render_sharded_impl
     )
     img = sharded(scene, camera)
     return img[:height] if h_pad != height else img
