@@ -655,17 +655,39 @@ def _winner_record_core(
     n_w: int, n_b: int, wall_base: int, box_base: int, n_chunks: int,
     n_s_pad: int, n_w_pad: int,
 ):
-    """Winner attribute regather + hit-record math, shared by the hit and
-    trace kernels.
+    """Winner attribute regather + hit-record math (the hit kernel's body).
+
+    Returns ``(t, hit, point xyz, normal xyz, color rgb, amb, met, dif,
+    spe, exp)``. See `_regather_core` and `_record_math`.
+    """
+    acc, hit, is_sphere, is_wall, is_box = _regather_core(
+        sm, t_id, best_t, best_i, alive,
+        n_w=n_w, n_b=n_b, wall_base=wall_base, box_base=box_base,
+        n_chunks=n_chunks, n_s_pad=n_s_pad, n_w_pad=n_w_pad,
+    )
+    (tt, hpx, hpy, hpz, hnx, hny, hnz) = _record_math(
+        acc, best_t, hit, is_sphere, is_wall, is_box,
+        vox, voy, voz, vdx, vdy, vdz, n_w=n_w, n_b=n_b,
+    )
+    colr, colg, colb, amb, met, dif, spe, exq = acc[6:]
+    return (tt, hit, hpx, hpy, hpz, hnx, hny, hnz,
+            colr, colg, colb, amb, met, dif, spe, exq)
+
+
+def _regather_core(
+    sm: dict, t_id, best_t, best_i, alive,
+    *, n_w: int, n_b: int, wall_base: int, box_base: int, n_chunks: int,
+    n_s_pad: int, n_w_pad: int,
+):
+    """Winner attribute regather, shared by the hit and trace kernels.
 
     Regather = masked selects over ONLY the winners' own per-slice
     shortlisted chunks (cond-gated on winners in THAT row slice; most
     chunks hold none — a chunk shortlisted by several slices re-selects
-    idempotently) plus the few walls/boxes; the winner t/point/normal math
-    then mirrors trace.py `_mm_hit` formula-for-formula (the training
-    path's custom VJP differentiates `_mm_hit` as the kernels' backward).
-    Returns ``(t, hit, point xyz, normal xyz, color rgb, amb, met, dif,
-    spe, exp)``.
+    idempotently) plus the few walls/boxes. Returns ``(acc, hit,
+    is_sphere, is_wall, is_box)`` where ``acc`` holds the 14 gathered
+    attribute planes (geometry g0..g5 per trace.py `_packed_table` columns
+    8-13, then the 8 material columns).
     """
     cx, cy, cz = sm["cx"], sm["cy"], sm["cz"]
     nx, ny, nz = sm["nx"], sm["ny"], sm["nz"]
@@ -676,7 +698,7 @@ def _winner_record_core(
     mcr, mcg, mcb, mam = sm["mcr"], sm["mcg"], sm["mcb"], sm["mam"]
     mmt, mdf, msp, mex = sm["mmt"], sm["mdf"], sm["msp"], sm["mex"]
 
-    rows, cols = vox.shape
+    rows, cols = best_t.shape
     zero = jnp.zeros((rows, cols), jnp.float32)
     hit = best_t < MISS_T
     is_sphere = (best_i >= 0) & (best_i < wall_base)
@@ -751,8 +773,22 @@ def _winner_record_core(
         acc = jax.lax.fori_loop(0, jnp.where(alive, n_b, 0),
                                 regather_box, acc)
 
+    return acc, hit, is_sphere, is_wall, is_box
+
+
+def _record_math(acc, best_t, hit, is_sphere, is_wall, is_box,
+                 vox, voy, voz, vdx, vdy, vdz, *, n_w: int, n_b: int):
+    """Winner t / hit point / normal from gathered attributes (pure math).
+
+    Mirrors trace.py `_mm_hit` formula-for-formula. Shared three ways: the
+    hit-record kernel, the forward trace megakernel, and — via `jax.vjp`
+    inside the BACKWARD trace kernel — the training backward, so forward
+    and backward always differentiate the value-identical function.
+    ``best_t``/masks are selection constants (stop-gradient by
+    construction); ``acc`` (the 14 gathered attribute planes) and the rays
+    are the differentiable inputs.
+    """
     g0, g1, g2, g3, g4, g5 = acc[:6]
-    colr, colg, colb, amb, met, dif, spe, exq = acc[6:]
 
     # --- winner t per type (mirrors _mm_hit, trace.py) ---
     tt = best_t
@@ -819,8 +855,113 @@ def _winner_record_core(
     hny = jnp.where(hit, hny, 0.0)
     hnz = jnp.where(hit, hnz, 1.0)
 
-    return (tt, hit, hpx, hpy, hpz, hnx, hny, hnz,
-            colr, colg, colb, amb, met, dif, spe, exq)
+    return tt, hpx, hpy, hpz, hnx, hny, hnz
+
+
+def _level_math(acc, rays6, w, t_sel, hit, is_sphere, is_wall, is_box,
+                pt_lights, sun_lights, sky, *, n_w: int, n_b: int,
+                is_last: bool):
+    """One trace level's differentiable math, post-selection and
+    post-gather: winner record + Blinn-Phong shading + sky + accumulator
+    increment + mirror reflection.
+
+    Pure function of (gathered attributes ``acc``, rays, throughput ``w``,
+    light/sky scalars) at FIXED selections (``t_sel``: the level's saved
+    per-ray t; the hit/type masks) — the forward trace megakernel calls it
+    directly and the backward trace kernel `jax.vjp`s it, so the training
+    gradient is of the exact forward computation. Mirrors trace.py
+    `_mm_hit` + `shade_soa`/`background_soa` + `trace_soa`'s ray update
+    (reference: recursive_ray_tracing, main.cpp:89-119).
+
+    ``pt_lights``/``sun_lights``: tuples of per-light 6-scalar tuples
+    (position/direction xyz + color rgb); ``sky``: 10 scalars. Returns
+    ``(t_out, ar_inc, ag_inc, ab_inc, w_next, nox, noy, noz, ndx, ndy,
+    ndz)``.
+    """
+    vox, voy, voz, vdx, vdy, vdz = rays6
+    (tt, hpx, hpy, hpz, hnx, hny, hnz) = _record_math(
+        acc, t_sel, hit, is_sphere, is_wall, is_box,
+        vox, voy, voz, vdx, vdy, vdz, n_w=n_w, n_b=n_b,
+    )
+    colr, colg, colb, amb, met, dif, spe, exq = acc[6:]
+
+    # --- Blinn-Phong shading (mirrors shade_soa / _light_terms) ---
+    vwx, vwy, vwz = -vdx, -vdy, -vdz
+
+    def light_terms(ldx, ldy, ldz):
+        diffuse = jnp.maximum(ldx * hnx + ldy * hny + ldz * hnz, 0.0)
+        hvx, hvy, hvz = vwx + ldx, vwy + ldy, vwz + ldz
+        n2 = hvx * hvx + hvy * hvy + hvz * hvz
+        hsc = jax.lax.rsqrt(jnp.where(n2 > 1e-12, n2, 1.0))
+        base = jnp.maximum(
+            (hvx * hnx + hvy * hny + hvz * hnz) * hsc, 0.0
+        )
+        base_safe = jnp.where(base > 0.0, base, 1.0)
+        specular = jnp.where(
+            base > 0.0, jnp.exp(exq * jnp.log(base_safe)), 0.0
+        )
+        return diffuse, specular
+
+    ir = jnp.zeros_like(w)
+    ig = jnp.zeros_like(w)
+    ib = jnp.zeros_like(w)
+    for (plx, ply, plz, pcr, pcg, pcb) in pt_lights:
+        ldx = plx - hpx
+        ldy = ply - hpy
+        ldz = plz - hpz
+        n2 = ldx * ldx + ldy * ldy + ldz * ldz
+        inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-12))
+        diffuse, specular = light_terms(ldx * inv, ldy * inv, ldz * inv)
+        term = diffuse * dif + specular * spe
+        ir = ir + pcr * term
+        ig = ig + pcg * term
+        ib = ib + pcb * term
+    for (sdx, sdy, sdz, scr, scg, scb) in sun_lights:
+        diffuse, specular = light_terms(
+            jnp.full_like(w, sdx), jnp.full_like(w, sdy),
+            jnp.full_like(w, sdz),
+        )
+        term = diffuse * dif + specular * spe
+        ir = ir + scr * term
+        ig = ig + scg * term
+        ib = ib + scb * term
+    lr = colr * (ir + amb)
+    lg = colg * (ig + amb)
+    lb = colb * (ib + amb)
+
+    # --- sky background (mirrors background_soa) ---
+    z = vdz
+    z_pos = jnp.where(z > 0.0, z, 1.0)
+    grad = jnp.where(z > 0.0, jnp.exp(sky[9] * jnp.log(z_pos)), 0.0)
+    skr = jnp.where(z < 0.0, sky[6], sky[0] + (sky[3] - sky[0]) * grad)
+    skg = jnp.where(z < 0.0, sky[7], sky[1] + (sky[4] - sky[1]) * grad)
+    skb = jnp.where(z < 0.0, sky[8], sky[2] + (sky[5] - sky[2]) * grad)
+
+    # --- accumulator increment (mirrors trace_soa's front-to-back form) ---
+    if is_last:
+        hcr, hcg, hcb = lr, lg, lb
+    else:
+        one_m = 1.0 - met
+        hcr, hcg, hcb = lr * one_m, lg * one_m, lb * one_m
+    take = hit & (w > 0.0)
+    ar_inc = jnp.where(take, hcr, skr) * w
+    ag_inc = jnp.where(take, hcg, skg) * w
+    ab_inc = jnp.where(take, hcb, skb) * w
+
+    t_out = jnp.where(hit, tt, t_sel)
+
+    # --- reflect (mirrors trace_soa's ray update) ---
+    w_next = w * jnp.where(hit, met, 0.0)
+    nox = jnp.where(hit, hpx + hnx * 1e-4, vox)
+    noy = jnp.where(hit, hpy + hny * 1e-4, voy)
+    noz = jnp.where(hit, hpz + hnz * 1e-4, voz)
+    dn2 = 2.0 * (vdx * hnx + vdy * hny + vdz * hnz)
+    ndx = jnp.where(hit, vdx - hnx * dn2, vdx)
+    ndy = jnp.where(hit, vdy - hny * dn2, vdy)
+    ndz = jnp.where(hit, vdz - hnz * dn2, vdz)
+
+    return (t_out, ar_inc, ag_inc, ab_inc, w_next,
+            nox, noy, noz, ndx, ndy, ndz)
 
 
 def _kernel_shortlist_hit(n_w: int, n_b: int, wall_base: int, box_base: int,
@@ -1043,88 +1184,31 @@ def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
             sm, t_id, vox, voy, voz, vdx, vdy, vdz, oo, do, w,
             n_w, n_b, wall_base, box_base, n_chunks,
         )
-        (tt, hit, hpx, hpy, hpz, hnx, hny, hnz,
-         colr, colg, colb, amb, met, dif, spe, exq) = _winner_record_core(
+        acc, hit, is_sphere, is_wall, is_box = _regather_core(
             sm, t_id, best_t, best_i, alive,
-            vox, voy, voz, vdx, vdy, vdz,
-            n_w, n_b, wall_base, box_base, n_chunks, n_s_pad, n_w_pad,
+            n_w=n_w, n_b=n_b, wall_base=wall_base, box_base=box_base,
+            n_chunks=n_chunks, n_s_pad=n_s_pad, n_w_pad=n_w_pad,
         )
-
-        # --- Blinn-Phong shading (mirrors shade_soa / _light_terms) ---
-        vwx, vwy, vwz = -vdx, -vdy, -vdz
-
-        def light_terms(ldx, ldy, ldz):
-            diffuse = jnp.maximum(ldx * hnx + ldy * hny + ldz * hnz, 0.0)
-            hvx, hvy, hvz = vwx + ldx, vwy + ldy, vwz + ldz
-            n2 = hvx * hvx + hvy * hvy + hvz * hvz
-            hsc = jax.lax.rsqrt(jnp.where(n2 > 1e-12, n2, 1.0))
-            base = jnp.maximum(
-                (hvx * hnx + hvy * hny + hvz * hnz) * hsc, 0.0
-            )
-            base_safe = jnp.where(base > 0.0, base, 1.0)
-            specular = jnp.where(
-                base > 0.0, jnp.exp(exq * jnp.log(base_safe)), 0.0
-            )
-            return diffuse, specular
-
-        ir = jnp.zeros_like(w)
-        ig = jnp.zeros_like(w)
-        ib = jnp.zeros_like(w)
-        for li in range(n_pt):
-            ldx = lpx[li] - hpx
-            ldy = lpy[li] - hpy
-            ldz = lpz[li] - hpz
-            n2 = ldx * ldx + ldy * ldy + ldz * ldz
-            inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-12))
-            diffuse, specular = light_terms(ldx * inv, ldy * inv, ldz * inv)
-            term = diffuse * dif + specular * spe
-            ir = ir + lcr[li] * term
-            ig = ig + lcg[li] * term
-            ib = ib + lcb[li] * term
-        for si in range(n_sun):
-            diffuse, specular = light_terms(
-                jnp.full_like(w, sdx[si]), jnp.full_like(w, sdy[si]),
-                jnp.full_like(w, sdz[si]),
-            )
-            term = diffuse * dif + specular * spe
-            ir = ir + scr[si] * term
-            ig = ig + scg[si] * term
-            ib = ib + scb[si] * term
-        lr = colr * (ir + amb)
-        lg = colg * (ig + amb)
-        lb = colb * (ib + amb)
-
-        # --- sky background (mirrors background_soa) ---
-        z = vdz
-        z_pos = jnp.where(z > 0.0, z, 1.0)
-        grad = jnp.where(z > 0.0, jnp.exp(sky[9] * jnp.log(z_pos)), 0.0)
-        skr = jnp.where(z < 0.0, sky[6], sky[0] + (sky[3] - sky[0]) * grad)
-        skg = jnp.where(z < 0.0, sky[7], sky[1] + (sky[4] - sky[1]) * grad)
-        skb = jnp.where(z < 0.0, sky[8], sky[2] + (sky[5] - sky[2]) * grad)
-
-        # --- accumulate (mirrors trace_soa: front-to-back expansion) ---
-        if is_last:
-            hcr, hcg, hcb = lr, lg, lb
-        else:
-            one_m = 1.0 - met
-            hcr, hcg, hcb = lr * one_m, lg * one_m, lb * one_m
-        take = hit & (w > 0.0)
-        ar_ref[:] = ar_in[:] + jnp.where(take, hcr, skr) * w
-        ag_ref[:] = ag_in[:] + jnp.where(take, hcg, skg) * w
-        ab_ref[:] = ab_in[:] + jnp.where(take, hcb, skb) * w
-
-        t_ref[:] = jnp.where(hit, tt, best_t)
+        pt_lights = tuple(
+            (lpx[li], lpy[li], lpz[li], lcr[li], lcg[li], lcb[li])
+            for li in range(n_pt)
+        )
+        sun_lights = tuple(
+            (sdx[si], sdy[si], sdz[si], scr[si], scg[si], scb[si])
+            for si in range(n_sun)
+        )
+        sky_s = tuple(sky[i] for i in range(10))
+        (t_out, ar_inc, ag_inc, ab_inc, w_next,
+         nox, noy, noz, ndx, ndy, ndz) = _level_math(
+            acc, (vox, voy, voz, vdx, vdy, vdz), w, best_t,
+            hit, is_sphere, is_wall, is_box, pt_lights, sun_lights, sky_s,
+            n_w=n_w, n_b=n_b, is_last=is_last,
+        )
+        ar_ref[:] = ar_in[:] + ar_inc
+        ag_ref[:] = ag_in[:] + ag_inc
+        ab_ref[:] = ab_in[:] + ab_inc
+        t_ref[:] = t_out
         i_ref[:] = best_i
-
-        # --- reflect (mirrors trace_soa's ray update) ---
-        w_next = w * jnp.where(hit, met, 0.0)
-        nox = jnp.where(hit, hpx + hnx * 1e-4, vox)
-        noy = jnp.where(hit, hpy + hny * 1e-4, voy)
-        noz = jnp.where(hit, hpz + hnz * 1e-4, voz)
-        dn2 = 2.0 * (vdx * hnx + vdy * hny + vdz * hnz)
-        ndx = jnp.where(hit, vdx - hnx * dn2, vdx)
-        ndy = jnp.where(hit, vdy - hny * dn2, vdy)
-        ndz = jnp.where(hit, vdz - hnz * dn2, vdz)
         w_ref[:] = w_next
         nox_ref[:] = nox
         noy_ref[:] = noy
