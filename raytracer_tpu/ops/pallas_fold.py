@@ -1270,9 +1270,48 @@ def _trace_level(tables, chunk_list, counts, gtables, slab, mats, lights,
       *rays, *state)
 
 
+def _light_sky_tables(scene: Scene):
+    """Light + sky scalar tables (pre-unit sun directions, shade_soa parity).
+
+    Differentiable in the scene's light/sky leaves — the backward
+    orchestrator re-derives them under ``jax.vjp`` so light/sky gradients
+    (including through the sun normalization) flow from the kernels'
+    scalar cotangents back to the scene pytree.
+    """
+    lights = scene.lights
+    n_pt = lights.point_position.shape[0]
+    n_sun = lights.sun_color.shape[0]
+
+    def col3(a, k, n):
+        return a[:, k] if n else jnp.zeros((1,), jnp.float32)
+
+    lp, lc = lights.point_position, lights.point_color
+    sun_d = lights.sun_direction
+    if n_sun:
+        sun_d = sun_d * jax.lax.rsqrt(
+            jnp.sum(sun_d * sun_d, axis=-1, keepdims=True)
+        )
+    sc = lights.sun_color
+    light_tbls = (
+        col3(lp, 0, n_pt), col3(lp, 1, n_pt), col3(lp, 2, n_pt),
+        col3(lc, 0, n_pt), col3(lc, 1, n_pt), col3(lc, 2, n_pt),
+        col3(sun_d, 0, n_sun), col3(sun_d, 1, n_sun), col3(sun_d, 2, n_sun),
+        col3(sc, 0, n_sun), col3(sc, 1, n_sun), col3(sc, 2, n_sun),
+    )
+    sky = scene.sky
+    sky_tbl = jnp.concatenate([
+        jnp.asarray(sky.horizon_color, jnp.float32),
+        jnp.asarray(sky.zenith_color, jnp.float32),
+        jnp.asarray(sky.ground_color, jnp.float32),
+        jnp.asarray(sky.gradient_exponent, jnp.float32).reshape(1),
+    ])
+    return light_tbls, sky_tbl, n_pt, n_sun
+
+
 def trace_levels_pallas(
     scene: Scene, o: V3, d: V3, *, depth: int,
     interpret: bool | None = None,
+    with_residuals: bool = False,
 ):
     """The whole depth-N trace as a chain of per-level megakernels.
 
@@ -1314,34 +1353,7 @@ def trace_levels_pallas(
     th, tw = hp // sl_r, wp // _SL_C
     n_chunks = counts_tbl["n_s_pad"] // _UNROLL if counts_tbl["n_s_pad"] else 0
 
-    # Light + sky scalar tables (pre-unit sun directions, shade_soa parity).
-    lights = scene.lights
-    n_pt = lights.point_position.shape[0]
-    n_sun = lights.sun_color.shape[0]
-
-    def col3(a, k, n):
-        return a[:, k] if n else jnp.zeros((1,), jnp.float32)
-
-    lp, lc = lights.point_position, lights.point_color
-    sun_d = lights.sun_direction
-    if n_sun:
-        sun_d = sun_d * jax.lax.rsqrt(
-            jnp.sum(sun_d * sun_d, axis=-1, keepdims=True)
-        )
-    sc = lights.sun_color
-    light_tbls = (
-        col3(lp, 0, n_pt), col3(lp, 1, n_pt), col3(lp, 2, n_pt),
-        col3(lc, 0, n_pt), col3(lc, 1, n_pt), col3(lc, 2, n_pt),
-        col3(sun_d, 0, n_sun), col3(sun_d, 1, n_sun), col3(sun_d, 2, n_sun),
-        col3(sc, 0, n_sun), col3(sc, 1, n_sun), col3(sc, 2, n_sun),
-    )
-    sky = scene.sky
-    sky_tbl = jnp.concatenate([
-        jnp.asarray(sky.horizon_color, jnp.float32),
-        jnp.asarray(sky.zenith_color, jnp.float32),
-        jnp.asarray(sky.ground_color, jnp.float32),
-        jnp.asarray(sky.gradient_exponent, jnp.float32).reshape(1),
-    ])
+    light_tbls, sky_tbl, n_pt, n_sun = _light_sky_tables(scene)
 
     if n_chunks:
         c_lo, c_hi, gtables_s, gr_s, slab_s = _chunk_culling_tables(
@@ -1349,8 +1361,12 @@ def trace_levels_pallas(
         )
 
     ts, idxs = [], []
+    rays_levels, w_levels, sl_levels = [], [], []  # per-level residuals
     prev_stats = None
     for k in range(depth + 1):
+        if with_residuals:
+            rays_levels.append(rays)
+            w_levels.append(state[0])
         if n_chunks == 0:
             act = state[0] > 0.0
             alive = _slice_reduce(act, th, tw, jnp.any, sl_r)
@@ -1379,6 +1395,8 @@ def trace_levels_pallas(
                 interpret=interpret,
             )
             n_chunks_eff = n_chunks
+        if with_residuals:
+            sl_levels.append((chunk_list, counts))
         outs = _trace_level(
             tables, chunk_list, counts, gtables, slab, (srad,) + mats,
             light_tbls, sky_tbl, rays, state,
@@ -1393,13 +1411,411 @@ def trace_levels_pallas(
         rays = tuple(outs[6:12])
         prev_stats = outs[12]
         state = (w_k, ar, ag, ab)
-        ts.append(t_k[:h, :w] if (hp != h or wp != w) else t_k)
-        idxs.append(i_k[:h, :w] if (hp != h or wp != w) else i_k)
+        if with_residuals:
+            ts.append(t_k)  # backward kernels consume the PADDED planes
+            idxs.append(i_k)
+        else:
+            ts.append(t_k[:h, :w] if (hp != h or wp != w) else t_k)
+            idxs.append(i_k[:h, :w] if (hp != h or wp != w) else i_k)
 
     _, ar, ag, ab = state
     if hp != h or wp != w:
         ar, ag, ab = ar[:h, :w], ag[:h, :w], ab[:h, :w]
+    if with_residuals:
+        return V3(ar, ag, ab), ts, idxs, rays_levels, w_levels, sl_levels
     return V3(ar, ag, ab), ts, idxs
+
+
+# ---------------------------------------------------------------------------
+# Backward trace megakernel (the training path's reverse sweep).
+#
+# The forward saves, per level, its INPUT rays/throughput and its (t, index)
+# selections — all existing inter-kernel HBM arrays, so the forward costs
+# nothing extra. The backward then runs one kernel per level in REVERSE
+# order: winner attributes are re-gathered in XLA by the differentiable
+# one-hot matmul (trace.py `_onehot_matmul_gather`, whose vjp is the MXU
+# scatter into the parameter table), and the kernel `jax.vjp`s the SAME
+# `_level_math` the forward executed — entirely in VMEM, with zero forward
+# replay and zero HBM residual traffic. Light/sky scalar cotangents reduce
+# in-kernel to one stats row per tile.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_trace_level_bwd(n_w: int, n_b: int, wall_base: int,
+                            box_base: int, n_chunks: int, n_s_pad: int,
+                            n_w_pad: int, n_b_pad: int, tiles_w: int,
+                            n_pt: int, n_sun: int, is_last: bool):
+    """Backward of one trace level, fully in VMEM.
+
+    Regathers the winner attributes from the SMEM tables (same
+    `_regather_core` as the forward — no HBM attribute planes), `jax.vjp`s
+    the exact `_level_math` the forward executed, and SCATTERS the
+    attribute cotangents into a per-tile [n_rows, 16] gradient block by
+    walking the same winner chunks. This keeps the whole parameter
+    gradient off the one-hot-matmul path, whose staged [rays, prims]
+    one-hot buffers dominated the XLA backward (measured: 8.05 GB /
+    31.7 GFLOP for grid-64 1080p d3, ~4.3 GB of it one-hot staging).
+    Gradient-block row layout matches `_packed_mat_tables`: spheres at
+    [0, n_s_pad), walls, then boxes; columns 0-13 follow the regather
+    ``acc`` order (geometry g0..g5, then the 8 material columns).
+    """
+
+    n_rows_tot = n_s_pad + n_w_pad + n_b_pad
+
+    def kernel(
+        # scalar-prefetch: geometry/material tables (as the hit kernel) +
+        # per-level shortlists + light/sky tables
+        cx, cy, cz, cr2,
+        nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz, px, py, pz, ln, wd,
+        bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
+        chunk_list, counts,
+        srad, mcr, mcg, mcb, mam, mmt, mdf, msp, mex,
+        lpx, lpy, lpz, lcr, lcg, lcb,
+        sdx, sdy, sdz, scr, scg, scb,
+        sky,
+        # VMEM: level inputs (saved residuals)
+        ox, oy, oz, dx, dy, dz, w_in, t_in, i_in,
+        # VMEM: cotangents of the level's outputs
+        car, cag, cab,  # d acc increment (= d final image, acc is linear)
+        cnox, cnoy, cnoz, cndx, cndy, cndz, cwn,  # d next rays / throughput
+        # outputs: cotangents of the level's inputs
+        cox_ref, coy_ref, coz_ref, cdx_ref, cdy_ref, cdz_ref, cw_ref,
+        pg_ref,  # [1, 1, n_rows_tot, 16] per-tile parameter-gradient block
+        ls_ref,  # light/sky scalar cotangents, one stats row per tile
+    ):
+        sm = dict(
+            cx=cx, cy=cy, cz=cz, nx=nx, ny=ny, nz=nz,
+            px=px, py=py, pz=pz, bmnx=bmnx, bmny=bmny, bmnz=bmnz,
+            bmxx=bmxx, bmxy=bmxy, bmxz=bmxz,
+            chunk_list=chunk_list, counts=counts, srad=srad,
+            mcr=mcr, mcg=mcg, mcb=mcb, mam=mam, mmt=mmt, mdf=mdf,
+            msp=msp, mex=mex,
+        )
+        t_id = pl.program_id(0) * tiles_w + pl.program_id(1)
+        rays = (ox[:], oy[:], oz[:], dx[:], dy[:], dz[:])
+        w = w_in[:]
+        t_sel = t_in[:]
+        i_sel = i_in[:]
+        alive = counts[t_id * _SLICES] >= 0
+        for s_i in range(1, _SLICES):
+            alive = alive | (counts[t_id * _SLICES + s_i] >= 0)
+        # t_sel = the forward's where(hit, tt, fold_t): tt is finite and
+        # fold misses are MISS_T, so hit is recoverable from t_sel alone;
+        # _regather_core derives the same masks from (t_sel, i_sel).
+        acc, hit, is_sphere, is_wall, is_box = _regather_core(
+            sm, t_id, t_sel, i_sel, alive,
+            n_w=n_w, n_b=n_b, wall_base=wall_base, box_base=box_base,
+            n_chunks=n_chunks, n_s_pad=n_s_pad, n_w_pad=n_w_pad,
+        )
+        pt = tuple(
+            (lpx[li], lpy[li], lpz[li], lcr[li], lcg[li], lcb[li])
+            for li in range(n_pt)
+        )
+        sun = tuple(
+            (sdx[si], sdy[si], sdz[si], scr[si], scg[si], scb[si])
+            for si in range(n_sun)
+        )
+        sky_s = tuple(sky[i] for i in range(10))
+
+        def f(a_t, rays_t, w_t, pt_t, sun_t, sky_t):
+            (t_out, ar_inc, ag_inc, ab_inc, w_next,
+             nox, noy, noz, ndx, ndy, ndz) = _level_math(
+                a_t, rays_t, w_t, t_sel, hit, is_sphere, is_wall, is_box,
+                pt_t, sun_t, sky_t, n_w=n_w, n_b=n_b, is_last=is_last,
+            )
+            return (ar_inc, ag_inc, ab_inc, w_next,
+                    nox, noy, noz, ndx, ndy, ndz)
+
+        _, vjp = jax.vjp(f, acc, rays, w, pt, sun, sky_s)
+        cts = (car[:], cag[:], cab[:], cwn[:],
+               cnox[:], cnoy[:], cnoz[:], cndx[:], cndy[:], cndz[:])
+        ct_a, ct_rays, ct_w, ct_pt, ct_sun, ct_sky = vjp(cts)
+
+        for ref, v in zip(
+            (cox_ref, coy_ref, coz_ref, cdx_ref, cdy_ref, cdz_ref), ct_rays
+        ):
+            ref[:] = v
+        cw_ref[:] = ct_w
+
+        # --- in-kernel parameter scatter: the transpose of the regather.
+        # ct_a is nonzero only at winner lanes; sum it per winning
+        # primitive into the per-tile gradient block, walking the SAME
+        # chunk shortlist (cond-gated on winners) so the cost scales with
+        # winner chunks, not scene size.
+        pg_ref[0, 0] = jnp.zeros((n_rows_tot, 16), jnp.float32)
+        lane16 = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)
+
+        def row_vals(vals14):
+            row = jnp.zeros((1, 16), jnp.float32)
+            for c, v in enumerate(vals14):
+                row = jnp.where(lane16 == c, v, row)
+            return row
+
+        rows_t = t_sel.shape[0]
+        rows_g = max(rows_t // _SLICES, 1)
+
+        def make_scatter(s_i):
+            sl = slice(s_i * rows_g, (s_i + 1) * rows_g)
+            is_sphere_s, i_sel_s = is_sphere[sl], i_sel[sl]
+            ct_a_s = tuple(c[sl] for c in ct_a)
+            list_base = (t_id * _SLICES + s_i) * n_chunks
+
+            def scatter_chunk(k, carry):
+                c = sm["chunk_list"][list_base + k]
+                base = c * _UNROLL
+                in_chunk = (
+                    is_sphere_s & (i_sel_s >= base)
+                    & (i_sel_s < base + _UNROLL)
+                )
+
+                @pl.when(jnp.any(in_chunk))
+                def _():
+                    for u in range(_UNROLL):
+                        idx = base + u
+                        m = is_sphere_s & (i_sel_s == idx)
+                        mf = m.astype(jnp.float32)
+                        # sphere rows use ct_a cols (g0..g3 = center xyz +
+                        # radius; g4/g5 unused) + the 8 material columns
+                        sums = [jnp.sum(mf * ct_a_s[cc]) for cc in
+                                (0, 1, 2, 3)] + [jnp.float32(0.0)] * 2 + [
+                            jnp.sum(mf * ct_a_s[cc]) for cc in range(6, 14)
+                        ]
+                        cur = pg_ref[0, 0, pl.dslice(idx, 1), :]
+                        pg_ref[0, 0, pl.dslice(idx, 1), :] = (
+                            cur + row_vals(sums)
+                        )
+
+                return carry
+
+            return scatter_chunk
+
+        if n_chunks and wall_base:
+            for s_i in range(_SLICES):
+                n_g = sm["counts"][t_id * _SLICES + s_i]
+                jax.lax.fori_loop(
+                    0, jnp.maximum(n_g, 0), make_scatter(s_i), 0
+                )
+
+        def scatter_flat(i, row0, mask_type):
+            m = mask_type & (i_sel == i + (wall_base if row0 == n_s_pad
+                                           else box_base))
+            mf = m.astype(jnp.float32)
+            sums = [jnp.sum(mf * ct_a[cc]) for cc in range(14)]
+            cur = pg_ref[0, 0, pl.dslice(row0 + i, 1), :]
+            pg_ref[0, 0, pl.dslice(row0 + i, 1), :] = cur + row_vals(sums)
+            return 0
+
+        if n_w:
+            jax.lax.fori_loop(
+                0, jnp.where(alive, n_w, 0),
+                lambda i, cr: scatter_flat(i, n_s_pad, is_wall), 0,
+            )
+        if n_b:
+            jax.lax.fori_loop(
+                0, jnp.where(alive, n_b, 0),
+                lambda i, cr: scatter_flat(i, n_s_pad + n_w_pad, is_box), 0,
+            )
+
+        # Pack the light/sky scalar cotangents (already tile-reduced by the
+        # vjp) into one (8, _SL_C) stats row: point lights first (6 each),
+        # then suns (6 each), then the 10 sky scalars.
+        vals = []
+        for li in range(n_pt):
+            vals.extend(ct_pt[li])
+        for si in range(n_sun):
+            vals.extend(ct_sun[si])
+        vals.extend(ct_sky)
+        srow = jnp.zeros((8, _SL_C), jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, _SL_C), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, _SL_C), 1)
+        for idx, v in enumerate(vals):
+            srow = jnp.where(
+                (row == idx // _SL_C) & (lane == idx % _SL_C), v, srow
+            )
+        ls_ref[0, 0] = srow
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_w", "n_b", "wall_base", "box_base", "n_chunks",
+                     "n_s_pad", "n_w_pad", "n_b_pad", "n_pt", "n_sun",
+                     "is_last", "sl_r", "interpret"),
+)
+def _trace_level_bwd(tables, chunk_list, counts, mats, lights, sky,
+                     level_in, ct_acc, ct_next, *,
+                     n_w: int, n_b: int, wall_base: int, box_base: int,
+                     n_chunks: int, n_s_pad: int, n_w_pad: int,
+                     n_b_pad: int, n_pt: int, n_sun: int, is_last: bool,
+                     sl_r: int, interpret: bool):
+    """One backward trace level.
+
+    Returns ``(ct_o3, ct_d3, ct_w, param_grad_tiles, ls_stats)`` where
+    ``param_grad_tiles`` is [th, tw, n_rows, 16] (summed over tiles by the
+    caller). ``level_in``: the level's saved (o3, d3, w, t, i); ``ct_acc``:
+    the final image cotangent (3 planes); ``ct_next``: cotangent of the
+    level's outputs (next o3, d3, w) — zeros for the last level.
+    """
+    h, w = level_in[0].shape
+    grid = (h // sl_r, w // _SL_C)
+    th, tw = grid
+    n_rows_tot = n_s_pad + n_w_pad + n_b_pad
+    spec = pl.BlockSpec(
+        (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+    )
+    stats_spec = pl.BlockSpec(
+        (1, 1, 8, _SL_C), lambda i, j, *_: (i, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    pg_spec = pl.BlockSpec(
+        (1, 1, n_rows_tot, 16), lambda i, j, *_: (i, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=25 + 2 + 9 + 13,
+        grid=grid,
+        in_specs=[spec] * 19,
+        out_specs=(spec,) * 7 + (pg_spec, stats_spec),
+    )
+    f32 = _out_struct((h, w), jnp.float32, level_in[0])
+    return pl.pallas_call(
+        _kernel_trace_level_bwd(n_w, n_b, wall_base, box_base, n_chunks,
+                                n_s_pad, n_w_pad, n_b_pad, tw, n_pt, n_sun,
+                                is_last),
+        out_shape=(f32,) * 7
+        + (_out_struct((th, tw, n_rows_tot, 16), jnp.float32, level_in[0]),
+           _out_struct((th, tw, 8, _SL_C), jnp.float32, level_in[0])),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*tables, chunk_list, counts, *mats, *lights, sky,
+      *level_in, *ct_acc, *ct_next)
+
+
+def trace_levels_pallas_bwd(
+    scene: Scene, ts, idxs, rays_levels, w_levels, sl_levels, ct_acc: V3, *,
+    depth: int, interpret: bool | None = None,
+):
+    """Whole-trace backward from saved forward residuals.
+
+    Returns ``(scene_ct, ct_o V3, ct_d V3)`` — the custom-VJP cotangents
+    for `trace.py _pallas_trace`. Everything selection-shaped (ts, idxs,
+    masks, shortlists) is constant; gradients flow through the regathered
+    attributes (scattered into per-tile parameter-gradient blocks INSIDE
+    the kernel — no one-hot matmuls, whose staged [rays, prims] buffers
+    dominated the XLA backward), the ray chain (level k's ray cotangents
+    feed level k-1), the throughput products, and the light/sky scalars.
+    """
+    from raytracer_tpu.ops.trace import _packed_table
+
+    if interpret is None:
+        interpret = not pallas_available()
+    sl_r = _check_sl_r(_SL_R)
+    hp, wp = rays_levels[0][0].shape
+    h, w = ct_acc.x.shape
+
+    sg = jax.lax.stop_gradient
+    tables, counts_tbl = _packed_fold_tables(sg(scene))
+    srad, mats, n_s_pad, n_w_pad = _packed_mat_tables(sg(scene), counts_tbl)
+    n_b_pad = max(counts_tbl["n_b_pad"], 1)
+    n_s = counts_tbl["n_s"]
+    n_w_real, n_b_real = counts_tbl["n_w"], counts_tbl["n_b"]
+    wall_base, box_base = n_s, n_s + n_w_real
+    n_chunks = counts_tbl["n_s_pad"] // _UNROLL if counts_tbl["n_s_pad"] else 0
+    n_chunks_eff = n_chunks if n_chunks else 1
+
+    def prep_ct(c):
+        c = jnp.asarray(c, jnp.float32)
+        if hp != h or wp != w:
+            c = jnp.pad(c, ((0, hp - h), (0, wp - w)))
+        return c
+
+    ct3 = (prep_ct(ct_acc.x), prep_ct(ct_acc.y), prep_ct(ct_acc.z))
+
+    (light_tbls, sky_tbl), vjp_light = jax.vjp(
+        lambda sc: _light_sky_tables(sc)[:2], scene
+    )
+    n_pt = scene.lights.point_position.shape[0]
+    n_sun = scene.lights.sun_color.shape[0]
+
+    zero = jnp.zeros((hp, wp), jnp.float32)
+    ct_next = (zero,) * 7  # d(next o3, d3, w) — nothing after the last level
+    n_rows_tot = n_s_pad + n_w_pad + n_b_pad
+    pg_sum = jnp.zeros((n_rows_tot, 16), jnp.float32)
+    ls_sum = jnp.zeros((8 * _SL_C,), jnp.float32)
+    ct_rays = (zero,) * 6
+    for k in reversed(range(depth + 1)):
+        level_in = rays_levels[k] + (w_levels[k], ts[k], idxs[k])
+        chunk_list, counts = sl_levels[k]
+        outs = _trace_level_bwd(
+            tables, chunk_list, counts, (srad,) + mats, light_tbls,
+            sky_tbl, level_in, ct3, ct_next,
+            n_w=counts_tbl["n_w_pad"], n_b=counts_tbl["n_b_pad"],
+            wall_base=wall_base, box_base=box_base,
+            n_chunks=n_chunks_eff, n_s_pad=n_s_pad, n_w_pad=n_w_pad,
+            n_b_pad=n_b_pad, n_pt=n_pt, n_sun=n_sun,
+            is_last=(k == depth), sl_r=sl_r, interpret=interpret,
+        )
+        ct_rays = outs[0:6]
+        ct_w_in = outs[6]
+        pg_sum = pg_sum + outs[7].sum(axis=(0, 1))
+        ls_sum = ls_sum + outs[8].sum(axis=(0, 1)).reshape(-1)
+        ct_next = ct_rays + (ct_w_in,)
+
+    # --- scene geometry/material gradients: per-tile blocks -> the packed
+    # attribute table layout -> scene leaves via _packed_table's transpose.
+    # pg rows: spheres [0, n_s), walls [n_s_pad, ..), boxes after; pg cols
+    # 0-5 = geometry (table cols 8-13), 6-13 = materials (table cols 0-7).
+    def table_grad_rows(row0, n):
+        block = jax.lax.dynamic_slice_in_dim(pg_sum, row0, max(n, 1), 0)
+        return jnp.concatenate([block[:, 6:14], block[:, 0:6]], axis=1)
+
+    parts = []
+    if n_s:
+        parts.append(table_grad_rows(0, n_s)[:n_s])
+    if n_w_real:
+        parts.append(table_grad_rows(n_s_pad, n_w_real)[:n_w_real])
+    if n_b_real:
+        parts.append(table_grad_rows(n_s_pad + n_w_pad, n_b_real)[:n_b_real])
+    table_grad = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    _, vjp_tbl = jax.vjp(_packed_table, scene)
+    (scene_ct_geom,) = vjp_tbl(table_grad)
+
+    # Unpack the light/sky scalar cotangents in the kernel's packing order.
+    pos = 0
+
+    def take_block(n):
+        nonlocal pos
+        vals = [ls_sum[pos + i] for i in range(n)]
+        pos += n
+        return vals
+
+    def col_cts(n_lights):
+        cols = [[] for _ in range(6)]
+        for _ in range(n_lights):
+            v = take_block(6)
+            for c in range(6):
+                cols[c].append(v[c])
+        if not n_lights:
+            return [jnp.zeros((1,), jnp.float32)] * 6
+        return [jnp.stack(c) for c in cols]
+
+    pt_cols = col_cts(n_pt)
+    sun_cols = col_cts(n_sun)
+    ct_sky = jnp.stack(take_block(10))
+    ct_light_tbls = tuple(pt_cols + sun_cols)
+
+    (scene_ct_light,) = vjp_light((ct_light_tbls, ct_sky))
+    scene_ct = jax.tree_util.tree_map(
+        lambda a, b: a + b, scene_ct_geom, scene_ct_light
+    )
+
+    def crop(c):
+        return c[:h, :w] if (hp != h or wp != w) else c
+
+    ct_o = V3(crop(ct_rays[0]), crop(ct_rays[1]), crop(ct_rays[2]))
+    ct_d = V3(crop(ct_rays[3]), crop(ct_rays[4]), crop(ct_rays[5]))
+    return scene_ct, ct_o, ct_d
 
 
 @functools.partial(

@@ -21,6 +21,7 @@ reverse-mode never sees 0 * inf.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, NamedTuple
 
 import jax
@@ -625,8 +626,12 @@ def _onehot_matmul_gather(table: jnp.ndarray, idx: jnp.ndarray) -> list:
     """
     n = table.shape[0]
     flat = idx.reshape(-1)
+    # bf16 one-hot: 0/1 are exact in bf16 and the DEFAULT-precision operand
+    # is consumed as bf16 by the MXU anyway — but materializing it as f32
+    # made XLA stage a [P, N] f32 buffer through HBM (1 GB at 1080p x 128
+    # rows, ~2.5 ms); bf16 halves that, value-identically.
     oh = (flat[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]).astype(
-        jnp.float32
+        jnp.bfloat16
     )
     # Per-operand precision: the one-hot operand is exactly representable in
     # bf16 (0/1), so only the table needs the f32 bf16-triple split — the
@@ -643,6 +648,57 @@ def _onehot_matmul_gather(table: jnp.ndarray, idx: jnp.ndarray) -> list:
         precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST),
     )  # [P, D]
     return [attrs[:, k].reshape(idx.shape) for k in range(table.shape[1])]
+
+
+@jax.custom_vjp
+def _gather_planes(table: jnp.ndarray, idx: jnp.ndarray) -> tuple:
+    """Differentiable per-ray row gather from a packed [N, D] table.
+
+    Forward engine by size: column-wise takes below
+    `_MM_GATHER_MIN_PRIMS` (the one-hot matmul costs ~3 ms/level at 1080p
+    even for 3 rows because the MXU pads K/N to 128; takes fuse), the
+    one-hot MXU matmul above (the take lowering is O(N) image passes).
+    Backward: the EXPLICIT one-hot transpose matmul — the gather is
+    linear in the table, so no forward replay is needed (a plain
+    ``jax.vjp`` of the matmul would redundantly run the gather again
+    just to discard it). Values are identical both ways (one-hot rows
+    sum exactly one table entry; mode="clip" matches the pre-clipped
+    idx).
+    """
+    if table.shape[0] >= _MM_GATHER_MIN_PRIMS:
+        return tuple(_onehot_matmul_gather(table, idx))
+    flat = idx.reshape(-1)
+    return tuple(
+        jnp.take(table[:, k], flat, mode="clip").reshape(idx.shape)
+        for k in range(table.shape[1])
+    )
+
+
+def _gather_planes_fwd(table, idx):
+    return _gather_planes(table, idx), (table.shape, idx)
+
+
+def _gather_planes_bwd(res, ct):
+    import numpy as np
+
+    (n, d), idx = res
+    flat = idx.reshape(-1)
+    oh = (flat[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]).astype(
+        jnp.bfloat16
+    )  # bf16: exact for 0/1, halves the staged [P, N] buffer
+    ct_stack = jnp.stack([c.reshape(-1) for c in ct], axis=1)  # [P, D]
+    g_table = jnp.dot(
+        oh.T,
+        ct_stack,
+        preferred_element_type=jnp.float32,
+        # one-hot exact in bf16; the cotangent gets the f32 triple split
+        # (mirrors _onehot_matmul_gather's per-operand precision).
+        precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST),
+    )
+    return g_table, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+_gather_planes.defvjp(_gather_planes_fwd, _gather_planes_bwd)
 
 
 def _mm_hit(
@@ -1011,15 +1067,24 @@ def _trace_fixed_xla(scene, o, d, ts, idxs, depth):
     return trace_soa(scene, o, d, depth=depth, closest_hit_fn=hit_fn)
 
 
+# Backward engine for the whole-trace megakernel: "pallas" (default) runs
+# the reverse sweep as one VMEM kernel per level at the forward's saved
+# residuals — no forward replay; "xla" differentiates the fixed-selection
+# XLA pipeline instead (the round-2 path, kept for A/B and fallback).
+_BWD_ENGINE = os.environ.get("RT_BWD", "pallas")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _pallas_trace(scene, o, d, depth):
-    """Whole-trace megakernel forward with the fixed-selection XLA backward.
+    """Whole-trace megakernel forward with a megakernel backward.
 
     Forward: one Pallas kernel per level (fold + winner record + shading +
     sky + reflection, all in VMEM — ops/pallas_fold.py trace_levels_pallas).
-    Backward: differentiate `_trace_fixed_xla` at the kernels' selections —
-    every fold here is selection-only, so this is the same gradient the
-    per-level mm path computes."""
+    Backward: every fold is selection-only, so the gradient is that of the
+    level math at fixed selections — computed by the backward trace kernels
+    (trace_levels_pallas_bwd) from the forward's saved per-level rays /
+    throughput / selections, with the parameter scatter riding the same
+    one-hot-matmul transpose as `_mm_hit`."""
     from raytracer_tpu.ops.pallas_fold import trace_levels_pallas
 
     acc, _, _ = trace_levels_pallas(scene, o, d, depth=depth)
@@ -1029,17 +1094,47 @@ def _pallas_trace(scene, o, d, depth):
 def _pallas_trace_fwd(scene, o, d, depth):
     from raytracer_tpu.ops.pallas_fold import trace_levels_pallas
 
-    acc, ts, idxs = trace_levels_pallas(scene, o, d, depth=depth)
-    return acc, (scene, o, d, ts, idxs)
+    if _BWD_ENGINE == "xla":
+        acc, ts, idxs = trace_levels_pallas(scene, o, d, depth=depth)
+        return acc, (scene, o, d, ts, idxs, None, None, None)
+    acc, ts, idxs, rays_levels, w_levels, sl_levels = trace_levels_pallas(
+        scene, o, d, depth=depth, with_residuals=True
+    )
+    return acc, (scene, o, d, ts, idxs, rays_levels, w_levels, sl_levels)
 
 
 def _pallas_trace_bwd(depth, res, ct):
-    scene, o, d, ts, idxs = res
-    _, vjp = jax.vjp(
-        lambda sc, oo, dd: _trace_fixed_xla(sc, oo, dd, ts, idxs, depth),
-        scene, o, d,
+    scene, o, d, ts, idxs, rays_levels, w_levels, sl_levels = res
+    if _BWD_ENGINE == "xla":
+        _, vjp = jax.vjp(
+            lambda sc, oo, dd: _trace_fixed_xla(sc, oo, dd, ts, idxs, depth),
+            scene, o, d,
+        )
+        return vjp(ct)
+    from raytracer_tpu.ops.pallas_fold import trace_levels_pallas_bwd
+
+    scene_ct, ct_o, ct_d = trace_levels_pallas_bwd(
+        scene, ts, idxs, rays_levels, w_levels, sl_levels, ct, depth=depth
     )
-    return vjp(ct)
+    # The trace consumed broadcasted rays; reduce cotangents back to the
+    # inputs' shapes (mirrors jax's implicit broadcast transpose).
+    def unbroadcast(c, like):
+        if c.shape == like.shape:
+            return c
+        extra = c.ndim - like.ndim
+        if extra:
+            c = c.sum(axis=tuple(range(extra)))
+        axes = tuple(
+            i for i, (cs, ls) in enumerate(zip(c.shape, like.shape))
+            if ls == 1 and cs != 1
+        )
+        if axes:
+            c = c.sum(axis=axes, keepdims=True)
+        return c.reshape(like.shape)
+
+    ct_o = V3(*(unbroadcast(c, ref) for c, ref in zip(ct_o, o)))
+    ct_d = V3(*(unbroadcast(c, ref) for c, ref in zip(ct_d, d)))
+    return scene_ct, ct_o, ct_d
 
 
 _pallas_trace.defvjp(_pallas_trace_fwd, _pallas_trace_bwd)

@@ -148,6 +148,10 @@ def render_sharded_impl(
         img = radiance.stacked()  # [rows, W, 3]
         if tonemap:
             img = reinhard_tonemap(img)
+        if n_prim == 1:
+            # Pure pixel-row DP: zero collectives in the compiled program
+            # (docs/scaling_evidence.json pins this).
+            return img
         # Every prim-shard holds the identical tile; the mean-psum both
         # certifies replication over 'prim' and keeps gradients exact.
         return jax.lax.psum(img, PRIM_AXIS) / n_prim

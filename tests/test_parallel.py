@@ -56,6 +56,32 @@ def test_sharded_pallas_fold_matches_single_device(px, prim):
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=atol)
 
 
+def test_sharded_pallas_gradients_match_single_device():
+    """Gradients through the mesh-sharded megakernel (forward + backward
+    trace kernels under shard_map, interpret mode) == single-device."""
+    scene = grid_sphere_scene(8, distance=4.0)
+    camera = reference_demo_camera()
+    mesh = make_mesh(px=8, prim=1)
+
+    def loss(c, sharded):
+        s2 = scene.replace(spheres=scene.spheres.replace(center=c))
+        if sharded:
+            img = render_sharded(
+                s2, camera, W, H, mesh=mesh, depth=1, fold="pallas"
+            )
+        else:
+            img = render(s2, camera, W, H, depth=1, fold="pallas")
+        return jnp.mean(img ** 2)
+
+    g1 = jax.grad(lambda c: loss(c, False))(scene.spheres.center)
+    g8 = jax.grad(lambda c: loss(c, True))(scene.spheres.center)
+    assert bool(jnp.isfinite(g8).all())
+    np.testing.assert_allclose(
+        np.asarray(g8), np.asarray(g1),
+        atol=1e-5 * float(jnp.abs(g1).max()),
+    )
+
+
 def test_sharded_uneven_rows(demo):
     """Height not divisible by the px axis: pad rows must crop away exactly."""
     scene, camera = demo
