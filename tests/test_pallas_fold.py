@@ -267,3 +267,81 @@ def test_backward_megakernel_full_scene_grads_match_jnp_path():
             np.asarray(lp), np.asarray(lj), atol=2e-3 * scale,
             err_msg=str(path),
         )
+
+
+def test_ray_stats_kernel_matches_xla_stats():
+    """The level-0 reach-stats kernel (_ray_stats, TPU-only in production)
+    computes the same per-tile phase-A statistics as the pure-XLA
+    formulation — run here with interpret=True on randomized rays/masks
+    (ADVICE r2: drift in the kernel's reach AABB would silently cull
+    visible chunks on the real TPU only)."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.ops import pallas_fold as pf
+
+    rng = np.random.default_rng(7)
+    sl_r, cols = 64, 128
+    h, w = sl_r * 2, cols
+    rays = tuple(
+        jnp.asarray(rng.normal(size=(h, w)).astype(np.float32) * s)
+        for s in (2.0, 2.0, 2.0, 1.0, 1.0, 1.0)
+    )
+    act = jnp.asarray(rng.random((h, w)) > 0.3)
+    slab = jnp.asarray(
+        np.array([-3, -3, -3, 3, 3, 3, 0, 0], np.float32)
+    )
+
+    s_all = pf._ray_stats(
+        slab, rays, act.astype(jnp.float32), sl_r=sl_r, interpret=True
+    )
+    got = pf._stats_to_phase_a(s_all)
+
+    # The pure-XLA twin (the `not interpret` branch of _shortlist_phase_a).
+    ox, oy, oz, dx, dy, dz = rays
+    lo, hi = slab[:3], slab[3:6]
+    th, tw = h // sl_r, w // pf._SL_C
+
+    def axis_interval(o_c, d_c, lo_c, hi_c):
+        ok = jnp.abs(d_c) > 1e-12
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, d_c, 1.0),
+                        jnp.where(d_c >= 0.0, 1e30, -1e30))
+        t1, t2 = (lo_c - o_c) * inv, (hi_c - o_c) * inv
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    ex_lo, ex_hi = axis_interval(ox, dx, lo[0], hi[0])
+    ey_lo, ey_hi = axis_interval(oy, dy, lo[1], hi[1])
+    ez_lo, ez_hi = axis_interval(oz, dz, lo[2], hi[2])
+    t0 = jnp.maximum(jnp.maximum(jnp.maximum(ex_lo, ey_lo), ez_lo), 0.0)
+    t_ex = jnp.minimum(jnp.minimum(ex_hi, ey_hi), ez_hi)
+    used = act & (t_ex >= t0) & (t_ex > 0.0)
+    BIG = jnp.float32(1e30)
+
+    def seg_minmax(o_c, d_c):
+        p1, p2 = o_c + t0 * d_c, o_c + t_ex * d_c
+        p_lo = jnp.where(used, jnp.minimum(p1, p2), BIG)
+        p_hi = jnp.where(used, jnp.maximum(p1, p2), -BIG)
+        return (
+            pf._slice_reduce(p_lo, th, tw, jnp.min, sl_r) - pf._AABB_PAD,
+            pf._slice_reduce(p_hi, th, tw, jnp.max, sl_r) + pf._AABB_PAD,
+        )
+
+    want = []
+    for o_c, d_c in ((ox, dx), (oy, dy), (oz, dz)):
+        want.extend(seg_minmax(o_c, d_c))
+    cnt = jnp.maximum(
+        pf._slice_reduce(used.astype(jnp.float32), th, tw, jnp.sum, sl_r),
+        1.0,
+    )
+    for o_c, d_c in ((ox, dx), (oy, dy), (oz, dz)):
+        p0 = jnp.where(used, o_c + t0 * d_c, 0.0)
+        want.append(pf._slice_reduce(p0, th, tw, jnp.sum, sl_r) / cnt)
+    want.append(pf._slice_reduce(act, th, tw, jnp.any, sl_r))
+
+    assert len(got) == len(want) == 10
+    for g, expect in zip(got, want):
+        if g.dtype == jnp.bool_:
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(expect))
+        else:
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(expect), rtol=1e-6, atol=1e-5
+            )
