@@ -45,9 +45,40 @@ __all__ = [
 _LANES = 128
 _TILE_ROWS = 256  # rays per tile = 256 x 128 = 32768; carries stay in VMEM
 # Spheres per chunk / manual inner unroll (Mosaic fori_loop has no unroll
-# support). Env-overridable for process-per-config sweeps (jit caches don't
+# support). Scene-size-adaptive: honest process-per-config sweep
+# (2026-08-19, grid-1024 1080p d3, v5e): 16 -> 60.4 ms, 32 -> 58.3, 64 ->
+# 69.6; but 32 costs the 3-prim demo +1 ms/frame (a 32-wide chunk is 31
+# pad entries there), so small scenes keep 16. The active value is set per
+# trace by `_use_unroll` (entry points), keyed on the sphere count —
+# deterministic per scene size, so jit caches stay consistent (table/
+# chunk-count static args differ whenever the unroll differs).
+# RT_FOLD_UNROLL overrides for process-per-config sweeps (jit caches don't
 # key on module constants, so in-process sweeps silently reuse compile #1).
-_UNROLL = int(os.environ.get("RT_FOLD_UNROLL", "16"))
+_UNROLL = 16
+_UNROLL_LARGE_MIN_SPHERES = 256
+
+
+def _resolve_unroll(n_s: int) -> int:
+    env = os.environ.get("RT_FOLD_UNROLL")
+    if env:
+        return int(env)
+    return 32 if n_s >= _UNROLL_LARGE_MIN_SPHERES else 16
+
+
+class _use_unroll:
+    """Set the active chunk size for the duration of one trace build."""
+
+    def __init__(self, n_spheres: int):
+        self._n = _resolve_unroll(n_spheres)
+
+    def __enter__(self):
+        global _UNROLL
+        self._old = _UNROLL
+        _UNROLL = self._n
+
+    def __exit__(self, *a):
+        global _UNROLL
+        _UNROLL = self._old
 
 
 def pallas_available() -> bool:
@@ -288,7 +319,7 @@ def _packed_fold_tables(scene: Scene):
     return tables, counts
 
 
-def fold_closest_pallas(
+def _fold_closest_pallas_impl(
     scene: Scene, o: V3, d: V3, *, interpret: bool | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(min-t, argmin index) for each ray — Pallas drop-in for the jnp fold.
@@ -1141,7 +1172,8 @@ def _ray_stats(slab, rays, amask, *, sl_r: int, interpret: bool):
 
 def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
                         tiles_w: int, n_chunks: int, n_s_pad: int,
-                        n_w_pad: int, n_pt: int, n_sun: int, is_last: bool):
+                        n_w_pad: int, n_pt: int, n_sun: int, is_last: bool,
+                        emit_stats: bool = True):
     """One FULL trace level in one kernel: fold + winner record + Blinn-
     Phong shading + sky + throughput/accumulator update + mirror reflection.
 
@@ -1218,8 +1250,10 @@ def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
         ndz_ref[:] = ndz
 
         # --- next-level reach statistics (the per-ray half of phase A,
-        # computed here while the next rays are still in VMEM) ---
-        if is_last:
+        # computed here while the next rays are still in VMEM); skipped
+        # when the next level re-tiles (its stats come from _ray_stats) or
+        # this is the last level ---
+        if is_last or not emit_stats:
             stats_ref[0, 0] = jnp.zeros((8, _SL_C), jnp.float32)
         else:
             stats_ref[0, 0] = _reach_stats_rows(
@@ -1233,13 +1267,13 @@ def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
     jax.jit,
     static_argnames=("n_w", "n_b", "wall_base", "box_base", "tiles_w",
                      "n_chunks", "n_s_pad", "n_w_pad", "n_pt", "n_sun",
-                     "is_last", "sl_r", "interpret"),
+                     "is_last", "emit_stats", "sl_r", "interpret"),
 )
 def _trace_level(tables, chunk_list, counts, gtables, slab, mats, lights,
                  sky, rays, state, *, n_w: int, n_b: int, wall_base: int,
                  box_base: int, tiles_w: int, n_chunks: int, n_s_pad: int,
                  n_w_pad: int, n_pt: int, n_sun: int, is_last: bool,
-                 sl_r: int, interpret: bool):
+                 emit_stats: bool, sl_r: int, interpret: bool):
     h, w = rays[0].shape
     grid = (h // sl_r, w // _SL_C)
     th, tw = grid
@@ -1260,7 +1294,7 @@ def _trace_level(tables, chunk_list, counts, gtables, slab, mats, lights,
     return pl.pallas_call(
         _kernel_trace_level(n_w, n_b, wall_base, box_base, tiles_w,
                             n_chunks, n_s_pad, n_w_pad, n_pt, n_sun,
-                            is_last),
+                            is_last, emit_stats),
         out_shape=(f32, _out_struct((h, w), jnp.int32, rays[0]))
         + (f32,) * 10
         + (_out_struct((th, tw, 8, _SL_C), jnp.float32, rays[0]),),
@@ -1308,7 +1342,7 @@ def _light_sky_tables(scene: Scene):
     return light_tbls, sky_tbl, n_pt, n_sun
 
 
-def trace_levels_pallas(
+def _trace_levels_pallas_impl(
     scene: Scene, o: V3, d: V3, *, depth: int,
     interpret: bool | None = None,
     with_residuals: bool = False,
@@ -1321,10 +1355,23 @@ def trace_levels_pallas(
     (t, index) lists)`` — the selections feed the whole-trace custom VJP
     in trace.py. Selection-only + formula-mirrored, so forward values
     match the per-level XLA pipeline to f32 fusion tolerance.
+
+    Bounce levels (k >= 1) may use a FINER row tile (``_SL_R_BOUNCE``):
+    divergent reflected rays regain spatial coherence in smaller tiles, so
+    their reach boxes — and therefore their chunk shortlists and tube
+    gates — tighten. Re-tiling per level only costs one `_ray_stats`
+    kernel (~0.3 ms at 1080p); the level kernels themselves are
+    tile-shape-agnostic over the same padded arrays.
     """
     if interpret is None:
         interpret = not pallas_available()
     sl_r = _check_sl_r(_SL_R)
+    sl_rb = _check_sl_r(_SL_R_BOUNCE)
+    if sl_r % sl_rb != 0 and sl_rb % sl_r != 0:
+        raise ValueError(
+            f"RT_SL_R_BOUNCE={sl_rb} must divide (or be a multiple of) "
+            f"the level-0 row tile {sl_r}"
+        )
     shape = jnp.broadcast_shapes(o.x.shape, d.x.shape)
     h, w = shape
     hp = -(-h // sl_r) * sl_r
@@ -1364,23 +1411,26 @@ def trace_levels_pallas(
     rays_levels, w_levels, sl_levels = [], [], []  # per-level residuals
     prev_stats = None
     for k in range(depth + 1):
+        sl_k = sl_r if k == 0 else sl_rb
+        th_k = hp // sl_k
         if with_residuals:
             rays_levels.append(rays)
             w_levels.append(state[0])
         if n_chunks == 0:
             act = state[0] > 0.0
-            alive = _slice_reduce(act, th, tw, jnp.any, sl_r)
+            alive = _slice_reduce(act, th_k, tw, jnp.any, sl_k)
             counts = jnp.where(alive, 0, -1).astype(jnp.int32).reshape(-1)
             n_chunks_eff = 1
-            chunk_list = jnp.zeros((th * tw * _SLICES,), jnp.int32)
+            chunk_list = jnp.zeros((th_k * tw * _SLICES,), jnp.int32)
             gtables = tuple(
                 jnp.zeros((1,), jnp.float32) for _ in range(4)
             ) + (jnp.full((1,), -1.0, jnp.float32),)
             slab = jnp.zeros((8,), jnp.float32)
-        elif k > 0 and _PHASE_A_BOUNCE:
+        elif k > 0 and _PHASE_A_BOUNCE and sl_rb == sl_r:
             # Bounce shortlists from the PREVIOUS kernel's tile stats — the
             # per-ray half of phase A already ran in VMEM; XLA only does the
-            # [tiles x chunks] overlap test + near-to-far sort.
+            # [tiles x chunks] overlap test + near-to-far sort. Only valid
+            # when this level keeps the previous level's tiling.
             stats = _stats_to_phase_a(prev_stats)
             chunk_list, counts = _phase_a_from_stats(
                 c_lo, c_hi, gtables_s, gr_s, stats, n_chunks
@@ -1390,13 +1440,13 @@ def trace_levels_pallas(
         else:
             act = state[0] > 0.0
             chunk_list, counts, gtables, slab = _shortlist_phase_a(
-                scene, rays, act, th, tw, n_chunks, sl_r,
+                scene, rays, act, th_k, tw, n_chunks, sl_k,
                 per_tile=(k == 0) or _PHASE_A_BOUNCE,
                 interpret=interpret,
             )
             n_chunks_eff = n_chunks
         if with_residuals:
-            sl_levels.append((chunk_list, counts))
+            sl_levels.append((chunk_list, counts, sl_k))
         outs = _trace_level(
             tables, chunk_list, counts, gtables, slab, (srad,) + mats,
             light_tbls, sky_tbl, rays, state,
@@ -1405,7 +1455,12 @@ def trace_levels_pallas(
             box_base=counts_tbl["n_s"] + counts_tbl["n_w"],
             tiles_w=tw, n_chunks=n_chunks_eff, n_s_pad=n_s_pad,
             n_w_pad=n_w_pad, n_pt=n_pt, n_sun=n_sun,
-            is_last=(k == depth), sl_r=sl_r, interpret=interpret,
+            is_last=(k == depth), sl_r=sl_k,
+            emit_stats=(
+                (k < depth) and _PHASE_A_BOUNCE and sl_rb == sl_r
+                and n_chunks > 0
+            ),
+            interpret=interpret,
         )
         t_k, i_k, ar, ag, ab, w_k = outs[:6]
         rays = tuple(outs[6:12])
@@ -1692,7 +1747,7 @@ def _trace_level_bwd(tables, chunk_list, counts, mats, lights, sky,
       *level_in, *ct_acc, *ct_next)
 
 
-def trace_levels_pallas_bwd(
+def _trace_levels_pallas_bwd_impl(
     scene: Scene, ts, idxs, rays_levels, w_levels, sl_levels, ct_acc: V3, *,
     depth: int, interpret: bool | None = None,
 ):
@@ -1746,7 +1801,7 @@ def trace_levels_pallas_bwd(
     ct_rays = (zero,) * 6
     for k in reversed(range(depth + 1)):
         level_in = rays_levels[k] + (w_levels[k], ts[k], idxs[k])
-        chunk_list, counts = sl_levels[k]
+        chunk_list, counts, sl_k = sl_levels[k]
         outs = _trace_level_bwd(
             tables, chunk_list, counts, (srad,) + mats, light_tbls,
             sky_tbl, level_in, ct3, ct_next,
@@ -1754,7 +1809,7 @@ def trace_levels_pallas_bwd(
             wall_base=wall_base, box_base=box_base,
             n_chunks=n_chunks_eff, n_s_pad=n_s_pad, n_w_pad=n_w_pad,
             n_b_pad=n_b_pad, n_pt=n_pt, n_sun=n_sun,
-            is_last=(k == depth), sl_r=sl_r, interpret=interpret,
+            is_last=(k == depth), sl_r=sl_k, interpret=interpret,
         )
         ct_rays = outs[0:6]
         ct_w_in = outs[6]
@@ -2120,7 +2175,7 @@ def _packed_mat_tables(scene: Scene, counts: dict):
     return srad, mats, n_s_pad, n_w_pad
 
 
-def hit_closest_pallas_shortlist(
+def _hit_closest_pallas_shortlist_impl(
     scene: Scene, o: V3, d: V3, *, active=None, interpret: bool | None = None,
     sl_r: int | None = None,
 ):
@@ -2200,7 +2255,7 @@ def hit_closest_pallas_shortlist(
     return outs
 
 
-def fold_closest_pallas_shortlist(
+def _fold_closest_pallas_shortlist_impl(
     scene: Scene, o: V3, d: V3, *, active=None, interpret: bool | None = None,
     sl_r: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -2275,6 +2330,33 @@ def fold_closest_pallas_shortlist(
     if hp != h or wp != w:
         bt, bi = bt[:h, :w], bi[:h, :w]
     return bt, bi
+
+
+
+
+def _unrolled(name, impl):
+    """Public entry: pins the scene-adaptive chunk size for the build."""
+    import functools as _ft
+
+    @_ft.wraps(impl)
+    def wrapper(scene, *args, **kwargs):
+        with _use_unroll(len(scene.spheres)):
+            return impl(scene, *args, **kwargs)
+
+    wrapper.__name__ = name
+    return wrapper
+
+
+fold_closest_pallas = _unrolled(
+    "fold_closest_pallas", _fold_closest_pallas_impl)
+fold_closest_pallas_shortlist = _unrolled(
+    "fold_closest_pallas_shortlist", _fold_closest_pallas_shortlist_impl)
+hit_closest_pallas_shortlist = _unrolled(
+    "hit_closest_pallas_shortlist", _hit_closest_pallas_shortlist_impl)
+trace_levels_pallas = _unrolled(
+    "trace_levels_pallas", _trace_levels_pallas_impl)
+trace_levels_pallas_bwd = _unrolled(
+    "trace_levels_pallas_bwd", _trace_levels_pallas_bwd_impl)
 
 
 # Tag consumed by trace.py closest_hit_soa: this fold family has a sibling
