@@ -55,7 +55,6 @@ __all__ = ["trace_soft", "render_soft"]
 
 _FAR = 1e4  # reference depth for rays that hit nothing
 _ALPHA_REF = 0.3  # coverage needed to anchor the reference depth
-_LOG_EPS = 1e-20
 
 
 def _sigmoid(x):
@@ -262,15 +261,18 @@ def trace_soft(
         return jnp.minimum(t_ref, jnp.where(alpha > _ALPHA_REF, t, _FAR))
 
     def fold_in(carry, alpha, t, payload, t_ref):
-        m, s, acc, log_transmit = carry
-        logit = jnp.log(alpha + _LOG_EPS) - jnp.maximum(t - t_ref, 0.0) / tau_z
-        m_new = jnp.maximum(m, logit)
-        scale = jnp.where(m > -jnp.inf, jnp.exp(m - m_new), 0.0)
-        e = jnp.exp(logit - m_new)
+        # Streaming depth softmax in LINEAR space: the weight of primitive i
+        # is w_i = alpha_i * exp(-(t_i - t_ref)+ / tau_z), i.e. exp(logit)
+        # with logit = log(alpha) - (t - t_ref)+/tau_z <= 0 — bounded above,
+        # so no running-max/logsumexp rescale is needed (e <= 1, s <= n_prims
+        # in f32). Far primitives underflow e to 0, which is exactly their
+        # softmax weight. Saves log+2*exp per primitive AND the full
+        # accumulator-tree rescale multiply (~11 [H,W] arrays per fold).
+        s, acc, log_transmit = carry
+        e = alpha * jnp.exp(-jnp.maximum(t - t_ref, 0.0) / tau_z)
         return (
-            m_new,
-            s * scale + e,
-            jax.tree_util.tree_map(lambda a, p: a * scale + p * e, acc, payload),
+            s + e,
+            jax.tree_util.tree_map(lambda a, p: a + p * e, acc, payload),
             log_transmit + jnp.log1p(-jnp.minimum(alpha, 1.0 - 1e-7)),
         )
 
@@ -327,8 +329,7 @@ def trace_soft(
         V3(zero, zero, zero), V3(zero, zero, zero), V3(zero, zero, zero), zero
     )
     carry = (
-        zero - jnp.inf,  # running max logit
-        zero,  # running exp-sum
+        zero,  # running weight sum
         zero_payload,  # running weighted payload
         zero,  # sum log(1 - alpha)
     )
@@ -378,9 +379,13 @@ def trace_soft(
         carry = fold_in(carry, alpha, t, payload_of(col, point, n, mat.metallic[i]),
                         t_ref)
 
-    m, s, acc, log_transmit = carry
+    s, acc, log_transmit = carry
     coverage = 1.0 - jnp.exp(log_transmit)  # union of all alphas
-    inv_s = 1.0 / jnp.maximum(s, 1e-30)
+    # Clamp floor at 1e-12, NOT denormal scale: reverse mode multiplies by
+    # d(1/s)/ds = -1/s^2, which overflows f32 (-> inf -> NaN) once s drops
+    # below ~1e-19. Pixels that dim have coverage ~ s, so both their value
+    # and their gradient are negligible either way.
+    inv_s = 1.0 / jnp.maximum(s, 1e-12)
     if want_surface:
         # Expected surface under the same weights; one mirrored ray per
         # pixel (reference: main.cpp:111-117). lerp distributes over the

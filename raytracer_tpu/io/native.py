@@ -40,14 +40,21 @@ def build_native(force: bool = False) -> Path | None:
             return _LIB
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
     srcs = [str(p) for p in src_paths]
+    # Compile to a per-process temp name, then atomically rename: concurrent
+    # builders (e.g. pytest-xdist workers) must never dlopen a half-written
+    # .so. rename() is atomic within a filesystem; last writer wins and
+    # every winner is a complete library.
+    tmp = _LIB.with_suffix(f".so.tmp{os.getpid()}")
     cmd = [
         "g++", "-std=c++17", "-O3", "-g", "-fPIC", "-shared", "-Wall",
-        *srcs, "-lz", "-o", str(_LIB),
+        *srcs, "-lz", "-o", str(tmp),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
     except Exception as e:  # toolchain missing / compile error: fall back
         print(f"[raytracer_tpu.io] native build failed: {e}", file=sys.stderr)
+        tmp.unlink(missing_ok=True)
         return None
     return _LIB
 

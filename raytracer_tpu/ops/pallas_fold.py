@@ -402,15 +402,21 @@ def _fold_closest_pallas_impl(
 # and masks.
 # ---------------------------------------------------------------------------
 
-_SL_R, _SL_C = 64, 128  # shortlist tile for PRIMARY rays (sweep on v5e:
-                        # 64x128 beat 32/128-row and 256-lane tiles)
-# Bounce-ray tile rows: bounce rays diverge and their tile-union reach
-# boxes shortlist most of the scene, so finer tiles trade culling gains
-# against 4x phase-A tiles + SMEM chunk lists + grid steps (8 rows
-# overflows the compile helper). NOTE: the pre-2026-08-18 sweeps of this
-# and _PHASE_A_BOUNCE ran through the NaN-poisoned timing chain (empty
-# shortlists) — env-overridable for honest process-per-config re-sweeps.
-_SL_R_BOUNCE = int(os.environ.get("RT_SL_R_BOUNCE", "64"))
+_SL_R = int(os.environ.get("RT_SL_R", "64"))  # PRIMARY-ray shortlist tile
+_SL_C = 128             # rows x 128 lanes (sweep on v5e: 64x128 beat
+                        # 32/128-row and 256-lane tiles; RT_SL_R is the
+                        # process-per-config sweep override)
+# Bounce-ray tile rows: bounce rays diverge, so finer tiles tighten their
+# union reach boxes (better chunk shortlists + tube gates) at the cost of
+# per-level `_ray_stats` re-tiling (the free prev-kernel stats path needs
+# sl_rb == sl_r) and more grid steps. Honest process-per-config sweep
+# (2026-08-19, sanitized chains, v5e): grid-1024 1080p d3 16 -> 61.9 ms,
+# 32 -> 53.5, 64 -> 58.5, 128 -> 63.9; demo 1080p d3 32 -> 3.98 ms vs
+# 64 -> 4.21; c5 4K d4 32 -> 233.3 vs 64 -> 262.7. 32 wins everywhere
+# (matching RT_SL_R=32 for the free-stats path is NOT better: grid-1024
+# 53.1 ~ tie, demo 4.22 — the finer level-0 tile costs the primary pass
+# more than the stats hand-off saves).
+_SL_R_BOUNCE = int(os.environ.get("RT_SL_R_BOUNCE", "32"))
 _AABB_PAD = 1e-3  # conservative inflation absorbing f32 rounding drift
 _GATE_PAD = 1e-2  # bounding-sphere inflation for the in-kernel tube gate
 _PHASE_A_BOUNCE = os.environ.get("RT_PHASE_A_BOUNCE", "1") != "0"
