@@ -124,17 +124,20 @@ def main() -> None:
         benchmark_render,
     )
 
+    # iters=10/6: the demo forward chain is ~4 ms/frame, so 3-iter chains
+    # sit at the relay's noise floor and the fwd/fwdbwd DIFFERENCE can
+    # round to 0 (BENCH_r03 chains showed 0.0); longer chains amortize it.
     extra(
         "bwd_fwd_ratio",  # flagship: 3-prim demo, custom-VJP take backward
         lambda: benchmark_forward_backward(
-            scene, camera, WIDTH, HEIGHT, depth=DEPTH, iters=3
+            scene, camera, WIDTH, HEIGHT, depth=DEPTH, iters=10
         )["bwd_fwd_ratio"],
     )
     grid64 = scenes.grid_sphere_scene(64)
     extra(
         "bwd_fwd_ratio_grid64",  # >=32 prims: the mm-gather backward
         lambda: benchmark_forward_backward(
-            grid64, camera, WIDTH, HEIGHT, depth=DEPTH, iters=3
+            grid64, camera, WIDTH, HEIGHT, depth=DEPTH, iters=6
         )["bwd_fwd_ratio"],
     )
     grid1024 = scenes.grid_sphere_scene(1024)

@@ -440,6 +440,11 @@ assert _SLICES in (1, 2, 4, 8), f"RT_SLICES must be 1/2/4/8, got {_SLICES}"
 # control flow stalls the Mosaic vector pipeline; 0 folds every shortlisted
 # chunk unconditionally).
 _TUBE_GATE = os.environ.get("RT_TUBE_GATE", "1") != "0"
+# Tube-ACCEPTED shortlists: phase A intersects the AABB-overlap accept set
+# with the stats kernel's per-chunk tube-reach union, so the fold loop
+# never iterates a chunk no lane can reach (A/B knob; requires n_chunks <=
+# _chunk_reach_capacity(), else silently falls back to AABB-only).
+_TUBE_SHORTLIST = os.environ.get("RT_TUBE_SHORTLIST", "1") != "0"
 
 
 def _check_sl_r(sl_r: int) -> int:
@@ -1073,7 +1078,16 @@ def _kernel_shortlist_hit(n_w: int, n_b: int, wall_base: int, box_base: int,
     return kernel
 
 
-def _reach_stats_rows(slab, ox, oy, oz, dx, dy, dz, w_alive):
+def _chunk_reach_capacity() -> int:
+    """Chunks that fit in the stats block's free rows (per-chunk tube-reach).
+
+    Rows [0, _SLICES) hold slice stats; rows [_SLICES, 8) are free —
+    (8 - _SLICES) * 128 lanes, one per chunk."""
+    return (8 - _SLICES) * _SL_C
+
+
+def _reach_stats_rows(slab, ox, oy, oz, dx, dy, dz, w_alive,
+                      gt=None, n_chunks: int = 0):
     """(8, _SL_C) PER-SLICE reach statistics — the per-ray half of phase A.
 
     Row ``s`` holds the stats of row slice ``s`` (rows [s*rows/8,
@@ -1085,6 +1099,17 @@ def _reach_stats_rows(slab, ox, oy, oz, dx, dy, dz, w_alive):
     bounce levels; ``_ray_stats`` for level 0) so the [H, W] per-ray
     intermediates never touch HBM — the pure-XLA formulation of these
     reductions measured 8.4 ms at 1080p (vs ~0.3 ms in-kernel) on the v5e.
+
+    With ``gt`` (the chunk bounding-sphere tables) and ``n_chunks``, rows
+    [_SLICES, 8) additionally carry the tile's PER-CHUNK tube-reach union
+    (chunk ``c`` at row ``_SLICES + c // 128``, lane ``c % 128``): 1.0 iff
+    ANY used lane's slab-clipped segment passes within the chunk's bounding
+    sphere. Phase A intersects its AABB-overlap accept set with this, which
+    matters for DIVERGENT bounce tiles: their union reach AABB covers most
+    of the scene (measured grid-1024 level 2-3: 58-62 of 64 chunks accepted
+    by AABB) while the per-lane tube union stays small (~15 of 32 chunks) —
+    the fold loop then skips the difference entirely instead of paying a
+    Mosaic ``lax.cond`` pipeline stall per gated-off chunk.
     """
     def axis_iv2(o_c, d_c, lo_c, hi_c):
         inv = _srecip(d_c)
@@ -1121,6 +1146,23 @@ def _reach_stats_rows(slab, ox, oy, oz, dx, dy, dz, w_alive):
         vals.append(jnp.any(w_alive[sl] > 0.0).astype(jnp.float32))
         for idx, v in enumerate(vals):
             srow = jnp.where((row == s_i) & (lane == idx), v, srow)
+    if n_chunks and gt is not None:
+        gx, gy, gz, gg, gr2 = gt
+        oo = ox * ox + oy * oy + oz * oz
+        do = dx * ox + dy * oy + dz * oz
+        for c in range(n_chunks):
+            # Same tube test as _shortlist_fold_core's in-kernel gate, with
+            # best_t unknown (t_exn clip only) — strictly conservative.
+            s_g = dx * gx[c] + dy * gy[c] + dz * gz[c]
+            m_g = ox * gx[c] + oy * gy[c] + oz * gz[c]
+            tc = jnp.clip(s_g - do, t0n, t_exn)
+            dist2 = oo - 2.0 * m_g + gg[c] + tc * (2.0 * (do - s_g) + tc)
+            v = jnp.max(
+                jnp.where(usedn & (dist2 <= gr2[c]), 1.0, 0.0)
+            )
+            srow = jnp.where(
+                (row == _SLICES + c // _SL_C) & (lane == c % _SL_C), v, srow
+            )
     return srow
 
 
@@ -1140,21 +1182,42 @@ def _stats_to_phase_a(s_all):
     )
 
 
-def _kernel_ray_stats():
-    def kernel(slab, ox, oy, oz, dx, dy, dz, amask, stats_ref):
+def _stats_to_chunk_reach(s_all, n_chunks: int):
+    """[th, tw, n_chunks] per-tile tube-reach union from the stats block's
+    free rows (see `_reach_stats_rows`); requires the emitting kernel to
+    have been built with the same ``n_chunks``."""
+    th, tw = s_all.shape[:2]
+    nrows = -(-n_chunks // _SL_C)
+    flat = s_all[:, :, _SLICES:_SLICES + nrows, :].reshape(
+        th, tw, nrows * _SL_C
+    )
+    return flat[..., :n_chunks] > 0.0
+
+
+def _kernel_ray_stats(n_chunks: int):
+    def kernel(slab, gx, gy, gz, gg, gr2, ox, oy, oz, dx, dy, dz, amask,
+               stats_ref):
         stats_ref[0, 0] = _reach_stats_rows(
-            slab, ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], amask[:]
+            slab, ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], amask[:],
+            gt=(gx, gy, gz, gg, gr2), n_chunks=n_chunks,
         )
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("sl_r", "interpret"))
-def _ray_stats(slab, rays, amask, *, sl_r: int, interpret: bool):
-    """Per-tile reach stats [th, tw, 8, _SL_C] from a padded ray batch."""
+@functools.partial(jax.jit, static_argnames=("sl_r", "n_chunks", "interpret"))
+def _ray_stats(slab, rays, amask, gtables=None, *, sl_r: int,
+               n_chunks: int = 0, interpret: bool):
+    """Per-tile reach stats [th, tw, 8, _SL_C] from a padded ray batch.
+
+    With ``gtables``/``n_chunks`` the free stats rows carry the per-tile
+    per-chunk tube-reach union (see `_reach_stats_rows`)."""
     h, w = rays[0].shape
     grid = (h // sl_r, w // _SL_C)
     th, tw = grid
+    if gtables is None:
+        gtables = tuple(jnp.zeros((1,), jnp.float32) for _ in range(5))
+        n_chunks = 0
     spec = pl.BlockSpec(
         (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
     )
@@ -1163,17 +1226,17 @@ def _ray_stats(slab, rays, amask, *, sl_r: int, interpret: bool):
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=6,
         grid=grid,
         in_specs=[spec] * 7,
         out_specs=stats_spec,
     )
     return pl.pallas_call(
-        _kernel_ray_stats(),
+        _kernel_ray_stats(n_chunks),
         out_shape=_out_struct((th, tw, 8, _SL_C), jnp.float32, rays[0]),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(slab, *rays, amask)
+    )(slab, *gtables, *rays, amask)
 
 
 def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
@@ -1262,8 +1325,13 @@ def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
         if is_last or not emit_stats:
             stats_ref[0, 0] = jnp.zeros((8, _SL_C), jnp.float32)
         else:
+            with_reach = (
+                _TUBE_SHORTLIST and 0 < n_chunks <= _chunk_reach_capacity()
+            )
             stats_ref[0, 0] = _reach_stats_rows(
-                slab, nox, noy, noz, ndx, ndy, ndz, w_next
+                slab, nox, noy, noz, ndx, ndy, ndz, w_next,
+                gt=(gx, gy, gz, gg, gr2) if with_reach else None,
+                n_chunks=n_chunks if with_reach else 0,
             )
 
     return kernel
@@ -1438,8 +1506,15 @@ def _trace_levels_pallas_impl(
             # [tiles x chunks] overlap test + near-to-far sort. Only valid
             # when this level keeps the previous level's tiling.
             stats = _stats_to_phase_a(prev_stats)
+            with_reach = (
+                _TUBE_SHORTLIST and n_chunks <= _chunk_reach_capacity()
+            )
             chunk_list, counts = _phase_a_from_stats(
-                c_lo, c_hi, gtables_s, gr_s, stats, n_chunks
+                c_lo, c_hi, gtables_s, gr_s, stats, n_chunks,
+                chunk_reach=(
+                    _stats_to_chunk_reach(prev_stats, n_chunks)
+                    if with_reach else None
+                ),
             )
             gtables, slab = gtables_s, slab_s
             n_chunks_eff = n_chunks
@@ -1993,7 +2068,8 @@ def _chunk_culling_tables(scene: Scene, n_chunks: int):
     return c_lo, c_hi, gtables, gr, slab
 
 
-def _phase_a_from_stats(c_lo, c_hi, gtables, gr, stats, n_chunks: int):
+def _phase_a_from_stats(c_lo, c_hi, gtables, gr, stats, n_chunks: int,
+                        chunk_reach=None):
     """Per-SLICE shortlists from slice-level reach statistics.
 
     ``stats`` = (rx_lo, rx_hi, ry_lo, ry_hi, rz_lo, rz_hi, px0, py0, pz0,
@@ -2002,7 +2078,12 @@ def _phase_a_from_stats(c_lo, c_hi, gtables, gr, stats, n_chunks: int):
     (`_ray_stats` for level 0; the trace megakernel for bounce levels).
     Returns flat ``chunk_list``/``counts`` in C order — entry
     ``(i*tw + j)*_SLICES + s`` is tile (i, j) slice s, matching the
-    kernels' SMEM indexing."""
+    kernels' SMEM indexing.
+
+    ``chunk_reach`` ([th, tw, n_chunks] bool, optional) intersects the
+    AABB-overlap accept set with the kernel-computed per-chunk tube-reach
+    union — the decisive cut for divergent bounce tiles whose union AABB
+    accepts nearly every chunk."""
     BIG = jnp.float32(1e30)
     rx_lo, rx_hi, ry_lo, ry_hi, rz_lo, rz_hi, px0, py0, pz0, alive = stats
     gx, gy, gz, _, _ = gtables
@@ -2015,6 +2096,9 @@ def _phase_a_from_stats(c_lo, c_hi, gtables, gr, stats, n_chunks: int):
         & overlap(ry_lo, ry_hi, 1)
         & overlap(rz_lo, rz_hi, 2)
     )  # [th, tw, n_chunks]
+    if chunk_reach is not None:
+        # [th, tw, 1?, n_chunks] broadcast over the slice axis of accept.
+        accept = accept & chunk_reach[:, :, None, :]
 
     # Near-to-far shortlist: sort accepted chunk ids by the distance from
     # the tile's segment-start centroid to the chunk's bounding sphere.
@@ -2068,12 +2152,19 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
     if n_chunks < _PER_TILE_MIN_CHUNKS:
         per_tile = False
     if per_tile and not interpret:
+        with_reach = _TUBE_SHORTLIST and n_chunks <= _chunk_reach_capacity()
         s_all = _ray_stats(
-            slab, rays, act.astype(jnp.float32), sl_r=sl_r, interpret=False
+            slab, rays, act.astype(jnp.float32),
+            gtables if with_reach else None,
+            sl_r=sl_r, n_chunks=n_chunks if with_reach else 0,
+            interpret=False,
         )
         stats = _stats_to_phase_a(s_all)
         chunk_list, counts = _phase_a_from_stats(
-            c_lo, c_hi, gtables, gr, stats, n_chunks
+            c_lo, c_hi, gtables, gr, stats, n_chunks,
+            chunk_reach=(
+                _stats_to_chunk_reach(s_all, n_chunks) if with_reach else None
+            ),
         )
         return chunk_list, counts, gtables, slab
     if not per_tile:

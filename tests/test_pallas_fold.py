@@ -345,3 +345,81 @@ def test_ray_stats_kernel_matches_xla_stats():
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(expect), rtol=1e-6, atol=1e-5
             )
+
+
+def test_ray_stats_chunk_reach_matches_xla():
+    """The stats kernel's per-chunk tube-reach union rows (the tube-accepted
+    shortlist input) match a pure-jnp evaluation of the same test, and the
+    union is CONSERVATIVE: every chunk whose member sphere a ray actually
+    hits is marked reachable."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.models import scenes
+    from raytracer_tpu.ops import pallas_fold as pf
+    from raytracer_tpu.ops.trace import raygen_tile
+
+    scene = scenes.grid_sphere_scene(64)
+    cam = scenes.reference_demo_camera()
+    sl_r = 32
+    h, w = sl_r * 4, 128
+    o, d = raygen_tile(cam, w, h)
+    ox = jnp.broadcast_to(o.x, (h, w))
+    oy = jnp.broadcast_to(o.y, (h, w))
+    oz = jnp.broadcast_to(o.z, (h, w))
+    rays = (ox, oy, oz, d.x, d.y, d.z)
+    rng = np.random.default_rng(3)
+    act = jnp.asarray(rng.random((h, w)) > 0.2)
+
+    n_chunks = -(-64 // pf._UNROLL)
+    c_lo, c_hi, gtables, gr, slab = pf._chunk_culling_tables(scene, n_chunks)
+    s_all = pf._ray_stats(
+        slab, rays, act.astype(jnp.float32), gtables,
+        sl_r=sl_r, n_chunks=n_chunks, interpret=True,
+    )
+    got = np.asarray(pf._stats_to_chunk_reach(s_all, n_chunks))
+
+    # jnp twin of the kernel's tube test (slab-clipped segment vs chunk
+    # bounding sphere), reduced to per-tile any.
+    gx, gy, gz, gg, gr2 = gtables
+    dx, dy, dz = rays[3:]
+    lo, hi = slab[:3], slab[3:6]
+
+    def axis_iv(o_c, d_c, lo_c, hi_c):
+        inv = pf._srecip(d_c)
+        t1, t2 = (lo_c - o_c) * inv, (hi_c - o_c) * inv
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    x1, x2 = axis_iv(ox, dx, lo[0], hi[0])
+    y1, y2 = axis_iv(oy, dy, lo[1], hi[1])
+    z1, z2 = axis_iv(oz, dz, lo[2], hi[2])
+    t0 = jnp.maximum(jnp.maximum(jnp.maximum(x1, y1), z1), 0.0)
+    t_ex = jnp.minimum(jnp.minimum(x2, y2), z2)
+    used = act & (t_ex >= t0) & (t_ex > 0.0)
+    oo = ox * ox + oy * oy + oz * oz
+    do = dx * ox + dy * oy + dz * oz
+    th, tw = h // sl_r, w // pf._SL_C
+    want = np.zeros((th, tw, n_chunks), bool)
+    for c in range(n_chunks):
+        s_g = dx * gx[c] + dy * gy[c] + dz * gz[c]
+        m_g = ox * gx[c] + oy * gy[c] + oz * gz[c]
+        tc = jnp.clip(s_g - do, t0, t_ex)
+        dist2 = oo - 2.0 * m_g + gg[c] + tc * (2.0 * (do - s_g) + tc)
+        reach = used & (dist2 <= gr2[c])
+        want[..., c] = np.asarray(
+            jnp.any(reach.reshape(th, sl_r, tw, pf._SL_C), axis=(1, 3))
+        )
+    np.testing.assert_array_equal(got, want)
+
+    # Conservativeness vs TRUE hits: fold the full scene per lane and check
+    # each winner sphere's chunk is marked reachable for its tile.
+    from raytracer_tpu.ops.trace import fold_closest_jnp
+    from raytracer_tpu.core.v3 import V3
+
+    best_t, best_i = fold_closest_jnp(scene, V3(ox, oy, oz), d)
+    hit_sphere = np.asarray((best_t < pf.MISS_T) & (best_i < 64) & act)
+    chunk_of = np.asarray(best_i) // pf._UNROLL
+    ti = np.arange(h)[:, None] // sl_r
+    tj = np.arange(w)[None, :] // pf._SL_C
+    ys, xs = np.nonzero(hit_sphere)
+    assert len(ys)  # scene visible in this crop
+    assert got[ti[ys, 0], tj[0, xs], chunk_of[ys, xs]].all()
