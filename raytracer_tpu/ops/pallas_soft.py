@@ -1,0 +1,746 @@
+"""Pallas TPU megakernels for the SOFT (differentiable) visibility path.
+
+The XLA soft compositor (diff/soft.py `trace_soft`) streams primitives with
+a `lax.scan` whose 14-plane carry round-trips HBM every 8 spheres, and its
+reverse-mode pass replays those sweeps from HBM residuals — measured on the
+v5e at the BASELINE config-4 shape (1080p, 64 spheres, depth 1): 127 ms
+forward, 389 ms value_and_grad, ~8x over the arithmetic floor. These
+kernels run the SAME math tile-resident: per reflection level, ONE Pallas
+pass composites every primitive over a (rows, 128) ray tile entirely in
+VMEM, and the backward pass `jax.vjp`s the identical level function inside
+a second kernel (the architecture of the hard path's trace megakernels,
+ops/pallas_fold.py) — parameter cotangents reduce in-kernel to one
+per-tile scalar block.
+
+Math parity: the per-primitive coverage/depth-softmax/shading formulas are
+IMPORTED from diff/soft.py (`_sphere_alpha_t_scalar`, `_wall_alpha_t_scalar`,
+`_box_alpha_t_scalar`, `_shade_point_scalar`), so the kernel path and the
+XLA path share one source of truth. The recursion (reference:
+recursive_ray_tracing, main.cpp:89-119, relaxed per diff/soft.py) is
+restructured front-to-back exactly like the hard path's `trace_soa`:
+
+    C_k = local_k + coeff_k * C_{k+1}
+    local_k = base_k * cov_k + sky_k * (1 - cov_k)
+    coeff_k = m_hat_k * cov_k        (0 at the last level)
+
+which is algebraically identical to `trace_soft`'s
+``fg * cov + sky * (1 - cov)`` with ``fg = base + m_hat * C_refl`` —
+the accumulator carries ``acc += w * local_k``, ``w *= coeff_k``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracer_tpu.core.types import Scene
+from raytracer_tpu.core.v3 import V3
+from raytracer_tpu.ops.pallas_fold import _SL_C, _out_struct, pallas_available
+from raytracer_tpu.ops.trace import _REFLECT_EPS, _wall_tables
+
+__all__ = ["soft_trace_pallas", "soft_pallas_supported"]
+
+# Forward row-tile height.
+_SOFT_SL_R = int(os.environ.get("RT_SOFT_SL_R", "32"))
+# Backward row-tile height: the in-kernel vjp keeps every sphere's
+# residuals (alpha/e/t/point/normal/col, ~15 planes each) live in VMEM —
+# remat is unavailable (Mosaic cannot lower remat2) — so the live set is
+# bounded by a finer tile: 64 spheres x 15 planes x (8 x 128 x 4 B) ~ 4 MB.
+_SOFT_SL_R_BWD = int(os.environ.get("RT_SOFT_SL_R_BWD", "8"))
+# Sphere-table granularity (padding quantum).
+_SOFT_CHUNK = 8
+# Backward-kernel scoped-VMEM cap (see the compiler_params note below).
+_SOFT_BWD_VMEM_LIMIT = int(
+    os.environ.get("RT_SOFT_BWD_VMEM", str(64 * 1024 * 1024))
+)
+# Kernel-path cap: the level function unrolls every primitive, so Mosaic
+# compile time grows with the count; beyond the cap trace_soft keeps the
+# chunk-scanned XLA path (which exists precisely for huge-N compiles).
+_SOFT_MAX_SPHERES = int(os.environ.get("RT_SOFT_PALLAS_MAX_SPHERES", "128"))
+_SOFT_PALLAS = os.environ.get("RT_SOFT_PALLAS", "1") != "0"
+
+_FAR = 1e4  # mirror diff/soft.py: reference depth for rays that hit nothing
+_ALPHA_REF = 0.3
+
+
+def soft_pallas_supported(scene: Scene) -> bool:
+    """True when the soft megakernel path can run this scene on this backend."""
+    n_s = len(scene.spheres)
+    n_prims = scene.num_primitives
+    return (
+        _SOFT_PALLAS
+        and pallas_available()
+        and 0 < n_prims
+        and n_s <= _SOFT_MAX_SPHERES
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameter tables: every differentiable scalar the level math consumes, as
+# named 1-D f32 arrays. The kernels receive them via scalar prefetch; the
+# backward maps the kernel's per-scalar cotangents back to the scene pytree
+# through jax.vjp of THIS function — so wall-basis derivation, sun
+# normalization, and sphere padding all transpose for free.
+# ---------------------------------------------------------------------------
+
+
+def _pad_to(x, n, fill):
+    pad = n - x.shape[0]
+    if pad > 0:
+        x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+    return x
+
+
+def _soft_param_arrays(scene: Scene, tau, tau_z, n_s_pad: int) -> dict:
+    """dict[str, f32[...]] of all level-math scalars (sorted-key order is
+    the packing order everywhere: kernel prefetch, cotangent block, unpack).
+
+    Pad spheres are never-hit (center 1e8 -> coverage sigmoid underflows to
+    exactly 0, mirroring `_sphere_param_chunks`)."""
+    s, m = scene.spheres, scene.spheres.material
+    out = {}
+    cols = {
+        "cx": (s.center[:, 0], 1e8), "cy": (s.center[:, 1], 1e8),
+        "cz": (s.center[:, 2], 1e8), "r": (s.radius, 1e-3),
+        "colr": (m.color[:, 0], 0.0), "colg": (m.color[:, 1], 0.0),
+        "colb": (m.color[:, 2], 0.0), "amb": (m.ambient, 0.0),
+        "kd": (m.diffuse, 0.0), "ks": (m.specular, 0.0),
+        "exp": (m.specular_exponent, 1.0), "met": (m.metallic, 0.0),
+    }
+    for k, (v, fill) in cols.items():
+        out["s_" + k] = _pad_to(jnp.asarray(v, jnp.float32), n_s_pad, fill)
+
+    def one(x):  # size >= 1 so scalar prefetch never sees a 0-length array
+        x = jnp.asarray(x, jnp.float32)
+        return x if x.shape[0] else jnp.zeros((1,), jnp.float32)
+
+    walls = scene.walls
+    wtab = _wall_tables(walls) if len(walls) else {
+        k: jnp.zeros((0,), jnp.float32)
+        for k in ("nx", "ny", "nz", "rx", "ry", "rz", "ux", "uy", "uz",
+                  "px", "py", "pz", "dplane", "length", "width")
+    }
+    for k, v in wtab.items():
+        out["w_" + k] = one(v)
+    wm = walls.material
+    for k, v in (("colr", wm.color[:, 0]), ("colg", wm.color[:, 1]),
+                 ("colb", wm.color[:, 2]), ("amb", wm.ambient),
+                 ("kd", wm.diffuse), ("ks", wm.specular),
+                 ("exp", wm.specular_exponent), ("met", wm.metallic)):
+        out["w_" + k] = one(v)
+
+    b, bm = scene.boxes, scene.boxes.material
+    for k, v in (("mnx", b.minimum[:, 0]), ("mny", b.minimum[:, 1]),
+                 ("mnz", b.minimum[:, 2]), ("mxx", b.maximum[:, 0]),
+                 ("mxy", b.maximum[:, 1]), ("mxz", b.maximum[:, 2]),
+                 ("colr", bm.color[:, 0]), ("colg", bm.color[:, 1]),
+                 ("colb", bm.color[:, 2]), ("amb", bm.ambient),
+                 ("kd", bm.diffuse), ("ks", bm.specular),
+                 ("exp", bm.specular_exponent), ("met", bm.metallic)):
+        out["b_" + k] = one(v)
+
+    lights = scene.lights
+    lp, lc = lights.point_position, lights.point_color
+    out["l_px"], out["l_py"], out["l_pz"] = (
+        one(lp[:, 0]), one(lp[:, 1]), one(lp[:, 2]))
+    out["l_cr"], out["l_cg"], out["l_cb"] = (
+        one(lc[:, 0]), one(lc[:, 1]), one(lc[:, 2]))
+    sd = lights.sun_direction
+    if lights.sun_color.shape[0]:
+        sd = sd * jax.lax.rsqrt(jnp.sum(sd * sd, axis=-1, keepdims=True))
+    out["l_sdx"], out["l_sdy"], out["l_sdz"] = (
+        one(sd[:, 0]), one(sd[:, 1]), one(sd[:, 2]))
+    out["l_scr"], out["l_scg"], out["l_scb"] = (
+        one(lights.sun_color[:, 0]), one(lights.sun_color[:, 1]),
+        one(lights.sun_color[:, 2]))
+
+    sky = scene.sky
+    out["z_sky"] = jnp.concatenate([
+        jnp.asarray(sky.horizon_color, jnp.float32),
+        jnp.asarray(sky.zenith_color, jnp.float32),
+        jnp.asarray(sky.ground_color, jnp.float32),
+        jnp.asarray(sky.gradient_exponent, jnp.float32).reshape(1),
+    ])
+    out["z_tau"] = jnp.asarray(tau, jnp.float32).reshape(1)
+    out["z_tau_z"] = jnp.asarray(tau_z, jnp.float32).reshape(1)
+    return out
+
+
+_SPH_KEYS = ("cx", "cy", "cz", "r", "colr", "colg", "colb", "amb", "kd",
+             "ks", "exp", "met")
+_WALL_GEO_KEYS = ("nx", "ny", "nz", "rx", "ry", "rz", "ux", "uy", "uz",
+                  "px", "py", "pz", "dplane", "length", "width")
+_MAT_KEYS = ("colr", "colg", "colb", "amb", "kd", "ks", "exp", "met")
+_BOX_GEO_KEYS = ("mnx", "mny", "mnz", "mxx", "mxy", "mxz")
+
+
+def _n_s_pad(scene: Scene) -> int:
+    """Sphere table size: a whole number of checkpoint chunks, >= 1 chunk
+    (a sphere-less scene carries one never-hit pad chunk — alpha == 0)."""
+    return max(
+        -(-len(scene.spheres) // _SOFT_CHUNK) * _SOFT_CHUNK, _SOFT_CHUNK
+    )
+
+
+def _counts(scene: Scene, n_s_pad: int) -> dict:
+    return {
+        "n_s": len(scene.spheres),
+        "n_s_pad": n_s_pad,
+        "n_w": len(scene.walls),
+        "n_b": len(scene.boxes),
+        "n_pt": scene.lights.point_position.shape[0],
+        "n_sun": scene.lights.sun_color.shape[0],
+    }
+
+
+def _tbls_from(read, sizes: dict) -> dict:
+    """dict[str, tuple-of-scalars] from ``read(key, i)`` (array or SMEM ref).
+
+    Tuple lengths follow the ARRAY sizes (incl. the max(n,1) placeholders),
+    so the vjp cotangent tree flattens to exactly one scalar per array
+    element — the packing contract with `_unpack_param_cts`."""
+    return {k: tuple(read(k, i) for i in range(n)) for k, n in sizes.items()}
+
+
+def _array_sizes(arrs: dict) -> dict:
+    return {k: int(arrs[k].shape[0]) for k in sorted(arrs)}
+
+
+# ---------------------------------------------------------------------------
+# The level function: ONE reflection level of the soft compositor, a pure
+# function of (param scalars, rays, throughput, t_ref). Both kernels call
+# it; the backward kernel jax.vjp's it — identical math by construction.
+# ---------------------------------------------------------------------------
+
+
+def _soft_t_ref(tbls, o, d, cnt):
+    """Hard front depth per ray — the stop-gradiented softmax anchor
+    (mirrors trace_soft pass 1)."""
+    from raytracer_tpu.diff.soft import (
+        _box_alpha_t_scalar,
+        _sphere_alpha_t_scalar,
+        _wall_alpha_t_scalar,
+    )
+
+    tau = tbls["z_tau"][0]
+    t_ref = (o.x + d.x) * 0.0 + _FAR
+
+    def fold_ref(t_ref, alpha, t):
+        return jnp.minimum(t_ref, jnp.where(alpha > _ALPHA_REF, t, _FAR))
+
+    for i in range(cnt["n_s_pad"]):
+        p = {"cx": tbls["s_cx"][i], "cy": tbls["s_cy"][i],
+             "cz": tbls["s_cz"][i], "r": tbls["s_r"][i]}
+        alpha, t, _, _ = _sphere_alpha_t_scalar(p, o, d, tau)
+        t_ref = fold_ref(t_ref, alpha, t)
+    for i in range(cnt["n_w"]):
+        p = {k: tbls["w_" + k][i] for k in _WALL_GEO_KEYS}
+        alpha, t, _, _ = _wall_alpha_t_scalar(p, o, d, tau)
+        t_ref = fold_ref(t_ref, alpha, t)
+    for i in range(cnt["n_b"]):
+        p = {k: tbls["b_" + k][i] for k in _BOX_GEO_KEYS}
+        alpha, t, _, _ = _box_alpha_t_scalar(p, o, d, tau)
+        t_ref = fold_ref(t_ref, alpha, t)
+    return t_ref
+
+
+def _prim_list(cnt) -> tuple:
+    """Composite order: spheres, walls, boxes (diff/soft.py trace_soft)."""
+    return (
+        tuple(("s", i) for i in range(cnt["n_s_pad"]))
+        + tuple(("w", i) for i in range(cnt["n_w"]))
+        + tuple(("b", i) for i in range(cnt["n_b"]))
+    )
+
+
+def _soft_contrib(tbls, rays6, t_ref, kind: str, i: int, *, cnt,
+                  is_last: bool):
+    """Primitive (kind, i)'s additive contribution to the composite carry:
+    ``(e, e * payload..., log1p(1 - alpha))`` — diff/soft.py `fold_in`'s
+    increments. The streaming backward `jax.vjp`s THIS per primitive, so
+    only one primitive's intermediates are ever live (Mosaic cannot lower
+    remat2, and the whole-loop vjp's residuals overflow VMEM: measured
+    19.9 MB at an (8, 128) tile for 64 spheres)."""
+    from raytracer_tpu.diff.soft import (
+        _box_alpha_t_scalar,
+        _shade_point_scalar,
+        _sphere_alpha_t_scalar,
+        _wall_alpha_t_scalar,
+    )
+
+    tau, tau_z = tbls["z_tau"][0], tbls["z_tau_z"][0]
+    o = V3(rays6[0], rays6[1], rays6[2])
+    d = V3(rays6[3], rays6[4], rays6[5])
+    view = -d
+    pt_lights = tuple(
+        (tbls["l_px"][j], tbls["l_py"][j], tbls["l_pz"][j],
+         tbls["l_cr"][j], tbls["l_cg"][j], tbls["l_cb"][j])
+        for j in range(cnt["n_pt"])
+    )
+    sun_lights = tuple(
+        (tbls["l_sdx"][j], tbls["l_sdy"][j], tbls["l_sdz"][j],
+         tbls["l_scr"][j], tbls["l_scg"][j], tbls["l_scb"][j])
+        for j in range(cnt["n_sun"])
+    )
+    if kind == "s":
+        p = {k: tbls["s_" + k][i] for k in _SPH_KEYS}
+        alpha, t, point, n = _sphere_alpha_t_scalar(p, o, d, tau)
+    elif kind == "w":
+        p = {k: tbls["w_" + k][i] for k in _WALL_GEO_KEYS + _MAT_KEYS}
+        alpha, t, point, n = _wall_alpha_t_scalar(p, o, d, tau)
+    else:
+        p = {k: tbls["b_" + k][i] for k in _BOX_GEO_KEYS + _MAT_KEYS}
+        alpha, t, point, n = _box_alpha_t_scalar(p, o, d, tau)
+    col = _shade_point_scalar(
+        point, n, view, V3(p["colr"], p["colg"], p["colb"]),
+        p["amb"], p["kd"], p["ks"], p["exp"], pt_lights, sun_lights,
+    )
+    met = p["met"]
+    # diff/soft.py fold_in: linear-space depth softmax, bounded logits.
+    e = alpha * jnp.exp(-jnp.maximum(t - t_ref, 0.0) / tau_z)
+    if is_last:
+        pay = (col.x, col.y, col.z)
+    else:
+        pay = (col.x, col.y, col.z,
+               col.x * met, col.y * met, col.z * met, met,
+               point.x, point.y, point.z, n.x, n.y, n.z)
+    return (e,) + tuple(q * e for q in pay) + (
+        jnp.log1p(-jnp.minimum(alpha, 1.0 - 1e-7)),
+    )
+
+
+def _soft_stream_sums(tbls, rays6, w, t_ref, *, cnt, is_last: bool):
+    """The composite carry (s, payload sums, log_transmit): primitives
+    folded in trace_soft's order, each via `_soft_contrib`."""
+    zero = w * 0.0
+    n_pay = 3 if is_last else 13
+    carry = (zero,) + (zero,) * n_pay + (zero,)
+    for kind, i in _prim_list(cnt):
+        contrib = _soft_contrib(
+            tbls, rays6, t_ref, kind, i, cnt=cnt, is_last=is_last
+        )
+        carry = tuple(a + c for a, c in zip(carry, contrib))
+    return carry
+
+
+def _soft_post(tbls, carry, rays6, w, *, cnt, is_last: bool):
+    """The composite tail: coverage/softmax normalization, sky blend,
+    accumulator increment, expected-surface reflection."""
+    tau = tbls["z_tau"][0]
+    sky_s = tbls["z_sky"]
+    d = V3(rays6[3], rays6[4], rays6[5])
+    zero = w * 0.0
+    s = carry[0]
+    log_transmit = carry[-1]
+    coverage = 1.0 - jnp.exp(log_transmit)
+    inv_s = 1.0 / jnp.maximum(s, 1e-12)  # see diff/soft.py clamp rationale
+
+    # sky (mirrors background_soa; same 10-scalar packing as _level_math)
+    z = d.z
+    z_pos = jnp.where(z > 0.0, z, 1.0)
+    grad = jnp.where(z > 0.0, jnp.exp(sky_s[9] * jnp.log(z_pos)), 0.0)
+    skr = jnp.where(z < 0.0, sky_s[6], sky_s[0] + (sky_s[3] - sky_s[0]) * grad)
+    skg = jnp.where(z < 0.0, sky_s[7], sky_s[1] + (sky_s[4] - sky_s[1]) * grad)
+    skb = jnp.where(z < 0.0, sky_s[8], sky_s[2] + (sky_s[5] - sky_s[2]) * grad)
+
+    if is_last:
+        cr, cg, cb = carry[1:4]
+        lr = cr * inv_s * coverage + skr * (1.0 - coverage)
+        lg = cg * inv_s * coverage + skg * (1.0 - coverage)
+        lb = cb * inv_s * coverage + skb * (1.0 - coverage)
+        return (w * lr, w * lg, w * lb, zero,
+                rays6[0], rays6[1], rays6[2], rays6[3], rays6[4], rays6[5])
+
+    (cr, cg, cb, cmr, cmg, cmb, cmet,
+     cpx, cpy, cpz, cnx, cny, cnz) = carry[1:14]
+    lr = (cr - cmr) * inv_s * coverage + skr * (1.0 - coverage)
+    lg = (cg - cmg) * inv_s * coverage + skg * (1.0 - coverage)
+    lb = (cb - cmb) * inv_s * coverage + skb * (1.0 - coverage)
+    m_hat = cmet * inv_s
+    p_hat = V3(cpx, cpy, cpz) * inv_s
+    n_hat = (V3(cnx, cny, cnz) * inv_s).normalized(eps=1e-12)
+    refl_o = p_hat + n_hat * jnp.maximum(_REFLECT_EPS, 6.0 * tau)
+    refl_d = d.reflect(n_hat)
+    w_next = w * (m_hat * coverage)
+    return (w * lr, w * lg, w * lb, w_next,
+            refl_o.x, refl_o.y, refl_o.z, refl_d.x, refl_d.y, refl_d.z)
+
+
+def _soft_level_math(tbls, rays6, w, t_ref, *, cnt, is_last: bool):
+    """(ar_inc, ag_inc, ab_inc, w_next, refl o3 + d3) for one level:
+    stream the primitive contributions, then the composite tail."""
+    carry = _soft_stream_sums(tbls, rays6, w, t_ref, cnt=cnt, is_last=is_last)
+    return _soft_post(tbls, carry, rays6, w, cnt=cnt, is_last=is_last)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _kernel_soft_level(keys, sizes, cnt, is_last: bool):
+    n_tbl = len(keys)
+
+    def kernel(*refs):
+        tbls = _tbls_from(
+            lambda k, i: refs[keys.index(k)][i], sizes
+        )
+        (ox, oy, oz, dx, dy, dz, w_in, ar_in, ag_in, ab_in) = refs[
+            n_tbl:n_tbl + 10
+        ]
+        (ar_ref, ag_ref, ab_ref, w_ref,
+         nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref) = refs[
+            n_tbl + 10:
+        ]
+        rays6 = (ox[:], oy[:], oz[:], dx[:], dy[:], dz[:])
+        w = w_in[:]
+        o = V3(*rays6[:3])
+        d = V3(*rays6[3:])
+        t_ref = _soft_t_ref(tbls, o, d, cnt)
+        outs = _soft_level_math(
+            tbls, rays6, w, t_ref, cnt=cnt, is_last=is_last
+        )
+        ar_ref[:] = ar_in[:] + outs[0]
+        ag_ref[:] = ag_in[:] + outs[1]
+        ab_ref[:] = ab_in[:] + outs[2]
+        w_ref[:] = outs[3]
+        for ref, v in zip(
+            (nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref), outs[4:]
+        ):
+            ref[:] = v
+
+    return kernel
+
+
+def _kernel_soft_level_bwd(keys, sizes, cnt, is_last: bool, ct_rows: int):
+    n_tbl = len(keys)
+
+    def kernel(*refs):
+        tbls = _tbls_from(lambda k, i: refs[keys.index(k)][i], sizes)
+        (ox, oy, oz, dx, dy, dz, w_in,
+         car, cag, cab, cnox, cnoy, cnoz, cndx, cndy, cndz, cwn) = refs[
+            n_tbl:n_tbl + 17
+        ]
+        (cox_ref, coy_ref, coz_ref, cdx_ref, cdy_ref, cdz_ref, cw_ref,
+         pct_ref) = refs[n_tbl + 17:]
+        rays6 = (ox[:], oy[:], oz[:], dx[:], dy[:], dz[:])
+        w = w_in[:]
+        t_ref = _soft_t_ref(tbls, V3(*rays6[:3]), V3(*rays6[3:]), cnt)
+        cts = (car[:], cag[:], cab[:], cwn[:],
+               cnox[:], cnoy[:], cnoz[:], cndx[:], cndy[:], cndz[:])
+
+        # Streaming reverse sweep (manual outer transpose; see
+        # `_soft_contrib`): (1) replay the carry sums, (2) vjp the
+        # composite tail for the carry cotangent, (3) vjp each primitive's
+        # contribution independently — the carry is a plain sum, so the
+        # sum's cotangent IS each contribution's cotangent. Per-primitive
+        # residuals die immediately; the live set is O(1 primitive).
+        carry = _soft_stream_sums(
+            tbls, rays6, w, t_ref, cnt=cnt, is_last=is_last
+        )
+
+        def post_f(tbls_t, carry_t, rays_t, w_t):
+            return _soft_post(
+                tbls_t, carry_t, rays_t, w_t, cnt=cnt, is_last=is_last
+            )
+
+        _, vjp_post = jax.vjp(post_f, tbls, carry, rays6, w)
+        ct_tbls, ct_carry, ct_rays, ct_w = vjp_post(cts)
+
+        add = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+        for kind, i in _prim_list(cnt):
+            def contrib_f(tbls_t, rays_t, kind=kind, i=i):
+                return _soft_contrib(
+                    tbls_t, rays_t, t_ref, kind, i, cnt=cnt, is_last=is_last
+                )
+
+            _, vjp_c = jax.vjp(contrib_f, tbls, rays6)
+            ct_tbls_i, ct_rays_i = vjp_c(ct_carry)
+            ct_tbls = add(ct_tbls, ct_tbls_i)
+            ct_rays = add(ct_rays, ct_rays_i)
+
+        for ref, v in zip(
+            (cox_ref, coy_ref, coz_ref, cdx_ref, cdy_ref, cdz_ref), ct_rays
+        ):
+            ref[:] = v
+        cw_ref[:] = ct_w
+
+        # Pack the per-scalar parameter cotangents (tree-leaf order ==
+        # sorted-key x element order == `_unpack_param_cts`'s order) into
+        # one (ct_rows, 128) per-tile block.
+        leaves = jax.tree_util.tree_leaves(ct_tbls)
+        block = jnp.zeros((ct_rows, _SL_C), jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (ct_rows, _SL_C), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ct_rows, _SL_C), 1)
+        for pos, v in enumerate(leaves):
+            block = jnp.where(
+                (row == pos // _SL_C) & (lane == pos % _SL_C), v, block
+            )
+        pct_ref[0, 0] = block
+
+    return kernel
+
+
+def _ct_rows(sizes: dict) -> int:
+    total = sum(sizes.values())
+    return max(8, -(-total // _SL_C))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("keys", "sizes_t", "cnt_t", "is_last", "sl_r",
+                              "interpret"),
+)
+def _soft_level(arrs_list, rays, state, *, keys, sizes_t, cnt_t,
+                is_last: bool, sl_r: int, interpret: bool):
+    sizes, cnt = dict(sizes_t), dict(cnt_t)
+    h, w = rays[0].shape
+    grid = (h // sl_r, w // _SL_C)
+    spec = pl.BlockSpec(
+        (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(keys),
+        grid=grid,
+        in_specs=[spec] * 10,
+        out_specs=(spec,) * 10,
+    )
+    f32 = _out_struct((h, w), jnp.float32, rays[0])
+    return pl.pallas_call(
+        _kernel_soft_level(keys, sizes, cnt, is_last),
+        out_shape=(f32,) * 10,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*arrs_list, *rays, *state)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("keys", "sizes_t", "cnt_t", "is_last", "sl_r",
+                              "interpret"),
+)
+def _soft_level_bwd(arrs_list, level_in, ct_acc, ct_next, *, keys, sizes_t,
+                    cnt_t, is_last: bool, sl_r: int, interpret: bool):
+    sizes, cnt = dict(sizes_t), dict(cnt_t)
+    h, w = level_in[0].shape
+    grid = (h // sl_r, w // _SL_C)
+    th, tw = grid
+    rows = _ct_rows(sizes)
+    spec = pl.BlockSpec(
+        (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+    )
+    pct_spec = pl.BlockSpec(
+        (1, 1, rows, _SL_C), lambda i, j, *_: (i, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(keys),
+        grid=grid,
+        in_specs=[spec] * 17,
+        out_specs=(spec,) * 7 + (pct_spec,),
+    )
+    f32 = _out_struct((h, w), jnp.float32, level_in[0])
+    return pl.pallas_call(
+        _kernel_soft_level_bwd(keys, sizes, cnt, is_last, rows),
+        out_shape=(f32,) * 7
+        + (_out_struct((th, tw, rows, _SL_C), jnp.float32, level_in[0]),),
+        grid_spec=grid_spec,
+        # Mosaic's stack allocator does not reuse buffers across the
+        # unrolled per-primitive vjp sequence well; the default 16 MB
+        # scoped-vmem budget overflows at 64 spheres even though the true
+        # live set is one primitive's residuals. Raise the cap (v5e
+        # hardware headroom permitting) rather than shrinking tiles below
+        # the (8, 128) f32 minimum.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SOFT_BWD_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(*arrs_list, *level_in, *ct_acc, *ct_next)
+
+
+# ---------------------------------------------------------------------------
+# Whole-trace orchestration + custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _prep_rays(o: V3, d: V3, sl_r: int):
+    shape = jnp.broadcast_shapes(o.x.shape, d.x.shape)
+    h, w = shape
+    hp = -(-h // sl_r) * sl_r
+    wp = -(-w // _SL_C) * _SL_C
+
+    def prep(c, fill):
+        c = jnp.broadcast_to(c, shape)
+        if hp != h or wp != w:
+            c = jnp.pad(c, ((0, hp - h), (0, wp - w)), constant_values=fill)
+        return c
+
+    rays = (
+        prep(o.x, 0.0), prep(o.y, 0.0), prep(o.z, 0.0),
+        prep(d.x, 0.0), prep(d.y, 0.0), prep(d.z, 1.0),
+    )
+    w_live = jnp.ones((h, w), jnp.float32)
+    if hp != h or wp != w:
+        w_live = jnp.pad(w_live, ((0, hp - h), (0, wp - w)))
+    return rays, w_live, (h, w, hp, wp)
+
+
+def _soft_levels_impl(scene: Scene, o: V3, d: V3, tau, tau_z, *, depth: int,
+                      interpret: bool | None = None,
+                      with_residuals: bool = False):
+    if interpret is None:
+        interpret = not pallas_available()
+    sl_r = _SOFT_SL_R
+    n_s_pad = _n_s_pad(scene)
+    arrs = _soft_param_arrays(scene, tau, tau_z, n_s_pad)
+    keys = tuple(sorted(arrs))
+    sizes_t = tuple((k, int(arrs[k].shape[0])) for k in keys)
+    cnt_t = tuple(sorted(_counts(scene, n_s_pad).items()))
+    arrs_list = [arrs[k] for k in keys]
+
+    rays, w_live, dims = _prep_rays(o, d, sl_r)
+    h, w, hp, wp = dims
+    zero = jnp.zeros((hp, wp), jnp.float32)
+    state = (w_live, zero, zero, zero)
+
+    rays_levels, w_levels = [], []
+    for k in range(depth + 1):
+        if with_residuals:
+            rays_levels.append(rays)
+            w_levels.append(state[0])
+        outs = _soft_level(
+            arrs_list, rays, state, keys=keys, sizes_t=sizes_t, cnt_t=cnt_t,
+            is_last=(k == depth), sl_r=sl_r, interpret=interpret,
+        )
+        state = (outs[3], outs[0], outs[1], outs[2])
+        rays = tuple(outs[4:10])
+
+    _, ar, ag, ab = state
+    if hp != h or wp != w:
+        ar, ag, ab = ar[:h, :w], ag[:h, :w], ab[:h, :w]
+    acc = V3(ar, ag, ab)
+    if with_residuals:
+        return acc, rays_levels, w_levels
+    return acc
+
+
+def _soft_levels_bwd_impl(scene: Scene, tau, tau_z, rays_levels, w_levels,
+                          ct_acc: V3, *, depth: int,
+                          interpret: bool | None = None):
+    if interpret is None:
+        interpret = not pallas_available()
+    sl_r = _SOFT_SL_R_BWD
+    if _SOFT_SL_R % sl_r != 0:
+        raise ValueError(
+            f"RT_SOFT_SL_R_BWD={sl_r} must divide RT_SOFT_SL_R={_SOFT_SL_R} "
+            "(the backward re-tiles the forward's padded planes)"
+        )
+    n_s_pad = _n_s_pad(scene)
+    sg = jax.lax.stop_gradient
+
+    arrs, vjp_arrs = jax.vjp(
+        lambda sc, t1, t2: _soft_param_arrays(sc, t1, t2, n_s_pad),
+        scene, tau, tau_z,
+    )
+    keys = tuple(sorted(arrs))
+    sizes = {k: int(arrs[k].shape[0]) for k in keys}
+    sizes_t = tuple(sizes.items())
+    cnt_t = tuple(sorted(_counts(scene, n_s_pad).items()))
+    arrs_list = [sg(arrs[k]) for k in keys]
+
+    hp, wp = rays_levels[0][0].shape
+    h, w = ct_acc.x.shape
+
+    def prep_ct(c):
+        c = jnp.asarray(c, jnp.float32)
+        if hp != h or wp != w:
+            c = jnp.pad(c, ((0, hp - h), (0, wp - w)))
+        return c
+
+    ct3 = (prep_ct(ct_acc.x), prep_ct(ct_acc.y), prep_ct(ct_acc.z))
+    zero = jnp.zeros((hp, wp), jnp.float32)
+    ct_next = (zero,) * 7  # d(next rays6, next w): nothing past the last
+    rows = _ct_rows(sizes)
+    pct_sum = jnp.zeros((rows * _SL_C,), jnp.float32)
+    for k in reversed(range(depth + 1)):
+        level_in = rays_levels[k] + (w_levels[k],)
+        outs = _soft_level_bwd(
+            arrs_list, level_in, ct3, ct_next, keys=keys, sizes_t=sizes_t,
+            cnt_t=cnt_t, is_last=(k == depth), sl_r=sl_r,
+            interpret=interpret,
+        )
+        ct_rays = outs[0:6]
+        ct_w = outs[6]
+        pct_sum = pct_sum + outs[7].sum(axis=(0, 1)).reshape(-1)
+        ct_next = ct_rays + (ct_w,)
+
+    # Unpack: flat vector -> per-key arrays (same key x element order the
+    # kernel packed), then transpose through _soft_param_arrays.
+    ct_arrs = {}
+    pos = 0
+    for k in keys:
+        n = sizes[k]
+        ct_arrs[k] = jax.lax.dynamic_slice_in_dim(pct_sum, pos, n)
+        pos += n
+    scene_ct, ct_tau, ct_tau_z = vjp_arrs(ct_arrs)
+
+    def crop(c):
+        return c[:h, :w] if (hp != h or wp != w) else c
+
+    ct_o = V3(crop(ct_rays[0]), crop(ct_rays[1]), crop(ct_rays[2]))
+    ct_d = V3(crop(ct_rays[3]), crop(ct_rays[4]), crop(ct_rays[5]))
+    return scene_ct, ct_o, ct_d, ct_tau, ct_tau_z
+
+
+def _unbroadcast(c, like):
+    if c.shape == like.shape:
+        return c
+    extra = c.ndim - like.ndim
+    if extra:
+        c = c.sum(axis=tuple(range(extra)))
+    axes = tuple(
+        i for i, (cs, ls) in enumerate(zip(c.shape, like.shape))
+        if ls == 1 and cs != 1
+    )
+    if axes:
+        c = c.sum(axis=axes, keepdims=True)
+    return c.reshape(like.shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def soft_trace_pallas(scene, o, d, tau, tau_z, depth):
+    """Whole soft trace as per-level Pallas megakernels with a megakernel
+    backward — the TPU fast path of diff/soft.py `trace_soft`.
+
+    Forward: one kernel per reflection level (t_ref anchor + streaming
+    depth-softmax composite + expected-surface reflection, all in VMEM).
+    Backward: one kernel per level in reverse, `jax.vjp`-ing the identical
+    level function at the forward's saved rays/throughput; parameter
+    cotangents reduce in-kernel to per-tile scalar blocks.
+    """
+    return _soft_levels_impl(scene, o, d, tau, tau_z, depth=depth)
+
+
+def _soft_trace_fwd(scene, o, d, tau, tau_z, depth):
+    acc, rays_levels, w_levels = _soft_levels_impl(
+        scene, o, d, tau, tau_z, depth=depth, with_residuals=True
+    )
+    return acc, (scene, o, d, tau, tau_z, rays_levels, w_levels)
+
+
+def _soft_trace_bwd(depth, res, ct):
+    scene, o, d, tau, tau_z, rays_levels, w_levels = res
+    scene_ct, ct_o, ct_d, ct_tau, ct_tau_z = _soft_levels_bwd_impl(
+        scene, tau, tau_z, rays_levels, w_levels, ct, depth=depth
+    )
+    ct_o = V3(_unbroadcast(ct_o.x, o.x), _unbroadcast(ct_o.y, o.y),
+              _unbroadcast(ct_o.z, o.z))
+    ct_d = V3(_unbroadcast(ct_d.x, d.x), _unbroadcast(ct_d.y, d.y),
+              _unbroadcast(ct_d.z, d.z))
+    return scene_ct, ct_o, ct_d, ct_tau, ct_tau_z
+
+
+soft_trace_pallas.defvjp(_soft_trace_fwd, _soft_trace_bwd)

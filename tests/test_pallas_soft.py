@@ -1,0 +1,182 @@
+"""Soft-path Pallas megakernels (ops/pallas_soft.py) vs the XLA soft path.
+
+All kernel runs use interpret=True on the CPU harness (production compiles
+them on the TPU; bench.py's fit_step_ms_c4 exercises that). Forward parity
+is tight; gradient parity is checked with kink-robust metrics because the
+anchored depth softmax has an inherent subgradient ambiguity: the anchor
+primitive sits exactly at the max(t - t_ref, 0) kink (t == t_ref by
+construction), and which side f32 evaluation lands on differs between
+evaluation engines. Color gradients avoid the kink (they don't flow
+through t) and must match tightly; finite differences anchor the kernel
+path's own gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.core.v3 import V3
+from raytracer_tpu.diff.soft import trace_soft
+from raytracer_tpu.models.scenes import (
+    grid_sphere_scene,
+    mixed_primitive_scene,
+    reference_demo_camera,
+)
+from raytracer_tpu.ops import pallas_soft as ps
+from raytracer_tpu.ops.trace import raygen_tile
+
+W, H = 128, 64
+TAU, TAU_Z = jnp.float32(0.02), jnp.float32(0.05)
+
+
+def _rays():
+    cam = reference_demo_camera()
+    return raygen_tile(cam, W, H)
+
+
+def test_soft_kernel_forward_matches_xla():
+    """Per-level megakernel forward == trace_soft (front-to-back restructure
+    is algebraically exact; tolerance is f32 reassociation)."""
+    o, d = _rays()
+    for scene, depths in (
+        (grid_sphere_scene(4, distance=4.0), (0, 1)),
+        (mixed_primitive_scene(), (1,)),  # spheres + walls + boxes
+    ):
+        for depth in depths:
+            want = trace_soft(
+                scene, o, d, tau=float(TAU), tau_z=float(TAU_Z), depth=depth
+            )
+            got = ps._soft_levels_impl(
+                scene, o, d, TAU, TAU_Z, depth=depth, interpret=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(got.stacked()), np.asarray(want.stacked()),
+                atol=2e-4, rtol=2e-4,
+            )
+
+
+def test_soft_kernel_color_gradients_match_xla():
+    """Albedo gradients bypass the depth kink entirely -> tight parity."""
+    scene = grid_sphere_scene(4, distance=4.0)
+    o, d = _rays()
+    tgt = jax.random.uniform(jax.random.PRNGKey(0), (H, W, 3))
+
+    def loss(color, use_kernel):
+        sc = scene.replace(spheres=scene.spheres.replace(
+            material=scene.spheres.material.replace(color=color)))
+        if use_kernel:
+            img = ps.soft_trace_pallas(sc, o, d, TAU, TAU_Z, 1)
+        else:
+            img = trace_soft(sc, o, d, tau=float(TAU), tau_z=float(TAU_Z),
+                             depth=1)
+        return jnp.mean((img.stacked() - tgt) ** 2)
+
+    c0 = scene.spheres.material.color
+    gx = np.asarray(jax.grad(lambda c: loss(c, False))(c0))
+    gk = np.asarray(jax.grad(lambda c: loss(c, True))(c0))
+    np.testing.assert_allclose(gk, gx, atol=1e-4 * max(np.abs(gx).max(), 1.0))
+
+
+def test_soft_kernel_geometry_gradients_aggregate_parity():
+    """Center / ray-direction gradients: kink flips are confined to the
+    anchor-coincident pixels, so aggregate direction must agree."""
+    scene = grid_sphere_scene(4, distance=4.0)
+    o, d = _rays()
+    tgt = jax.random.uniform(jax.random.PRNGKey(0), (H, W, 3))
+
+    def loss(center, dd, use_kernel):
+        sc = scene.replace(spheres=scene.spheres.replace(center=center))
+        if use_kernel:
+            img = ps.soft_trace_pallas(sc, o, dd, TAU, TAU_Z, 1)
+        else:
+            img = trace_soft(sc, o, dd, tau=float(TAU), tau_z=float(TAU_Z),
+                             depth=1)
+        return jnp.mean((img.stacked() - tgt) ** 2)
+
+    args = (scene.spheres.center, d)
+    gx = jax.grad(lambda c, dd: loss(c, dd, False), argnums=(0, 1))(*args)
+    gk = jax.grad(lambda c, dd: loss(c, dd, True), argnums=(0, 1))(*args)
+    for a, b in ((gx[0], gk[0]), (gx[1].x, gk[1].x), (gx[1].z, gk[1].z)):
+        a = np.asarray(a).ravel()
+        b = np.asarray(b).ravel()
+        cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.99, cos
+        assert np.linalg.norm(a - b) <= 0.15 * np.linalg.norm(a)
+
+
+def test_soft_kernel_gradients_match_fd():
+    """The kernel path's own gradients against finite differences (the
+    same protocol as tests/test_soft.py's XLA FD test)."""
+    scene = grid_sphere_scene(4, distance=4.0)
+    o, d = _rays()
+    target = ps._soft_levels_impl(
+        scene, o, d, TAU, TAU_Z, depth=0, interpret=True
+    ).stacked()
+
+    def loss(x):
+        spheres = scene.spheres.replace(
+            center=scene.spheres.center.at[0, 1].add(x)
+        )
+        img = ps.soft_trace_pallas(
+            scene.replace(spheres=spheres), o, d, TAU, TAU_Z, 0
+        )
+        return jnp.mean((img.stacked() - target) ** 2)
+
+    delta = jnp.float32(0.05)
+    g = float(jax.grad(loss)(delta))
+    h = 1e-3
+    fd = float((loss(delta + h) - loss(delta - h)) / (2 * h))
+    assert np.isfinite(g) and np.isfinite(fd)
+    assert abs(g - fd) <= 0.05 * max(abs(fd), 1e-6), (g, fd)
+
+
+def test_soft_kernel_all_leaf_gradients_finite():
+    """Every differentiable scene leaf (incl. walls, boxes, lights, sky)
+    gets a finite cotangent through the kernel custom VJP."""
+    scene = mixed_primitive_scene()
+    o, d = _rays()
+
+    def loss(sc):
+        img = ps.soft_trace_pallas(sc, o, d, TAU, TAU_Z, 1)
+        return jnp.mean(img.stacked())
+
+    grads = jax.grad(loss)(scene)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.float32:
+            assert bool(jnp.isfinite(leaf).all()), path
+
+
+def test_soft_kernel_fit_descends():
+    """A miniature center fit through the kernel path reduces the loss
+    (the c4 capability, kernel engine)."""
+    import optax
+
+    truth = grid_sphere_scene(4, distance=4.0)
+    o, d = _rays()
+    target = ps._soft_levels_impl(
+        truth, o, d, TAU, TAU_Z, depth=1, interpret=True
+    ).stacked()
+    rng = np.random.default_rng(0)
+    pert = jnp.asarray(rng.uniform(-0.1, 0.1, (4, 3)), jnp.float32)
+    params = truth.spheres.center + pert
+    opt = optax.adam(2e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(c):
+            sc = truth.replace(spheres=truth.spheres.replace(center=c))
+            img = ps.soft_trace_pallas(sc, o, d, TAU, TAU_Z, 1)
+            return jnp.mean((img.stacked() - target) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        u, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, u), opt_state, loss
+
+    params, opt_state, loss0 = step(params, opt_state)
+    for _ in range(6):
+        params, opt_state, loss = step(params, opt_state)
+    assert float(loss) < float(loss0)
+    err0 = float(jnp.abs(pert).mean())
+    err = float(jnp.abs(params - truth.spheres.center).mean())
+    assert err < err0
