@@ -68,13 +68,18 @@ _FAR = 1e4  # mirror diff/soft.py: reference depth for rays that hit nothing
 _ALPHA_REF = 0.3
 
 
+# Test hook: take the kernel path on CPU too (interpret mode) — lets the
+# suite pin kernel-under-shard_map semantics without a TPU.
+_FORCE_KERNEL = False
+
+
 def soft_pallas_supported(scene: Scene) -> bool:
     """True when the soft megakernel path can run this scene on this backend."""
     n_s = len(scene.spheres)
     n_prims = scene.num_primitives
     return (
         _SOFT_PALLAS
-        and pallas_available()
+        and (pallas_available() or _FORCE_KERNEL)
         and 0 < n_prims
         and n_s <= _SOFT_MAX_SPHERES
     )

@@ -146,6 +146,50 @@ def test_soft_kernel_all_leaf_gradients_finite():
             assert bool(jnp.isfinite(leaf).all()), path
 
 
+def test_soft_kernel_runs_under_sharded_mesh(monkeypatch):
+    """The soft megakernels run UNDER the device mesh (check_vma=False
+    shard_map admits pallas_call per shard, exactly like the hard path):
+    the px-sharded soft render through the kernel engine == the
+    single-device kernel render, values and gradients."""
+    from raytracer_tpu.parallel.mesh import make_mesh
+    from raytracer_tpu.parallel.render import render_soft_sharded_impl
+
+    monkeypatch.setattr(ps, "_FORCE_KERNEL", True)
+    scene = grid_sphere_scene(4, distance=4.0)
+    cam = reference_demo_camera()
+    mesh = make_mesh(px=8, prim=1)
+
+    from raytracer_tpu.diff.soft import render_soft
+
+    ref = render_soft(scene, cam, W, H, tau=float(TAU), tau_z=float(TAU_Z),
+                      tonemap=False, depth=1)
+    img = render_soft_sharded_impl(
+        scene, cam, W, H, mesh=mesh, tau=float(TAU), tau_z=float(TAU_Z),
+        tonemap=False, depth=1,
+    )
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-6)
+
+    def loss(c, sharded):
+        sc = scene.replace(spheres=scene.spheres.replace(center=c))
+        if sharded:
+            out = render_soft_sharded_impl(
+                sc, cam, W, H, mesh=mesh, tau=float(TAU),
+                tau_z=float(TAU_Z), tonemap=False, depth=1,
+            )
+        else:
+            out = render_soft(sc, cam, W, H, tau=float(TAU),
+                              tau_z=float(TAU_Z), tonemap=False, depth=1)
+        return jnp.mean(out ** 2)
+
+    g1 = jax.grad(lambda c: loss(c, False))(scene.spheres.center)
+    g8 = jax.grad(lambda c: loss(c, True))(scene.spheres.center)
+    assert bool(jnp.isfinite(g8).all())
+    np.testing.assert_allclose(
+        np.asarray(g8), np.asarray(g1),
+        atol=1e-5 * max(float(jnp.abs(g1).max()), 1e-8),
+    )
+
+
 def test_soft_kernel_fit_descends():
     """A miniature center fit through the kernel path reduces the loss
     (the c4 capability, kernel engine)."""
