@@ -3,8 +3,10 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Config: 1920x1080, 3 reflection bounces, Reinhard tone mapping, the
-reference demo scene (BASELINE config 3). The north-star target is 1e9
+Config: 1920x1080, 3 reflection bounces, Reinhard tone mapping, the exact
+BASELINE config-3 scene (sprint3: demo geometry + sun light — measuring the
+demo scene without the sun under-counts two light-term evaluations per
+level, VERDICT r3 weak-1). The north-star target is 1e9
 primary rays/s on a v5e-8 (BASELINE.json), i.e. 0.125e9 per chip;
 ``vs_baseline`` is measured single-chip throughput over the per-chip target,
 scaled by the local chip count.
@@ -62,7 +64,7 @@ def median_chains(run_chain, n=CHAINS, retries=2):
 
 def main() -> None:
     n_chips = jax.device_count()
-    scene = scenes.reference_demo_scene()
+    scene = scenes.sprint3_scene()  # c3: demo geometry + sun (app/config.py)
     camera = scenes.reference_demo_camera()
 
     def step(s, c, eps):
@@ -137,8 +139,9 @@ def main() -> None:
     extra(
         "bwd_fwd_ratio_grid64",  # >=32 prims: the mm-gather backward
         lambda: benchmark_forward_backward(
-            grid64, camera, WIDTH, HEIGHT, depth=DEPTH, iters=6
+            grid64, camera, WIDTH, HEIGHT, depth=DEPTH, iters=12
         )["bwd_fwd_ratio"],
+        chains=5,  # BENCH_r03 spread was 30% at 6-iter/3-chain (VERDICT r3)
     )
     grid1024 = scenes.grid_sphere_scene(1024)
     extra(

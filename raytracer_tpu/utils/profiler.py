@@ -26,11 +26,33 @@ from raytracer_tpu.core.types import Camera, Scene
 
 __all__ = [
     "PhaseTimer",
+    "trace_capture",
     "benchmark_render",
     "benchmark_forward_backward",
     "benchmark_fit_step",
     "benchmark_scaling",
 ]
+
+
+@contextmanager
+def trace_capture(out_dir=None):
+    """One-flag ``jax.profiler`` trace capture (VERDICT r3 item 8).
+
+    Wrap any benchmark in ``with trace_capture("out/trace"):`` to write a
+    TensorBoard/Perfetto-loadable device trace of everything dispatched
+    inside the block — the kernel-level analysis hook SURVEY §5 names (the
+    reference's only profiler is exit-time phase averages, main.cpp:384-392).
+    ``out_dir=None`` is a no-op so call sites can pass a CLI flag straight
+    through.
+    """
+    if not out_dir:
+        yield
+        return
+    from pathlib import Path
+
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    with jax.profiler.trace(str(out_dir)):
+        yield
 
 
 class PhaseTimer:
