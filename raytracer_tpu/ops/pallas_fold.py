@@ -445,6 +445,16 @@ _TUBE_GATE = os.environ.get("RT_TUBE_GATE", "1") != "0"
 # never iterates a chunk no lane can reach (A/B knob; requires n_chunks <=
 # _chunk_reach_capacity(), else silently falls back to AABB-only).
 _TUBE_SHORTLIST = os.environ.get("RT_TUBE_SHORTLIST", "1") != "0"
+# Sub-chunk best-t tube gates INSIDE accepted chunks: gate each accepted
+# chunk's 8/16-sphere sub-blocks against their own (tighter) bounding
+# spheres and cond-skip the ones no lane reaches. Measured a LOSS on the
+# v5e (grid-1024 1080p d3, 2026-08-20, process-per-config: off 52.9 ms,
+# _SUB=8 60.1, _SUB=16 56.8; demo unchanged) — divergent bounce tiles
+# reach most sub-blocks of any chunk they reach at all, so the extra
+# gates+conds outcost the skipped folds. Default OFF; kept as an A/B knob
+# for sparser scene classes.
+_SUB_GATE = os.environ.get("RT_SUB_GATE", "0") != "0"
+_SUB = int(os.environ.get("RT_SUB", "8"))  # sub-chunk gate granularity (spheres)
 
 
 def _check_sl_r(sl_r: int) -> int:
@@ -485,6 +495,9 @@ def _shortlist_fold_core(
     cx, cy, cz, cr2 = sm["cx"], sm["cy"], sm["cz"], sm["cr2"]
     chunk_list, counts, slab = sm["chunk_list"], sm["counts"], sm["slab"]
     gx, gy, gz, gg, gr2 = sm["gx"], sm["gy"], sm["gz"], sm["gg"], sm["gr2"]
+    sgx, sgy, sgz = sm["sgx"], sm["sgy"], sm["sgz"]
+    sgg, sgr2 = sm["sgg"], sm["sgr2"]
+    n_sub = _UNROLL // _SUB if _UNROLL > _SUB else 1
     alive = counts[t * _SLICES] >= 0
     for s_i in range(1, _SLICES):
         alive = alive | (counts[t * _SLICES + s_i] >= 0)
@@ -608,27 +621,47 @@ def _shortlist_fold_core(
             )
             return jnp.where(win, tt, bt), jnp.where(win, idx, bi)
 
+        def tube_reach(tx, ty, tz, tg, tr2, i, bt_c):
+            """Any-lane reach of bounding sphere ``i`` of table t* over each
+            ray's live segment [t0, min(t_ex, best_t)]."""
+            s_g = dx_s * tx[i] + dy_s * ty[i] + dz_s * tz[i]
+            m_g = ox_s * tx[i] + oy_s * ty[i] + oz_s * tz[i]
+            t1 = jnp.minimum(tex_s, bt_c)
+            tc = jnp.clip(s_g - do_s, t0_s, t1)
+            dist2 = oo_s - 2.0 * m_g + tg[i] + tc * (2.0 * (do_s - s_g) + tc)
+            return ok_s & (t1 >= t0_s) & (dist2 <= tr2[i])
+
+        def fold_sub(sb, cr):
+            for u in range(_SUB):
+                cr = sphere_one(sb + u, cr)
+            return cr
+
         def chunk_body(k, carry):
             bt, bi = carry
             c = chunk_list[list_base + k]
             base = c * _UNROLL
 
             def do_chunk(cr):
-                for u in range(_UNROLL):
-                    cr = sphere_one(base + u, cr)
+                if not (_SUB_GATE and _TUBE_GATE) or n_sub == 1:
+                    for u in range(_UNROLL):
+                        cr = sphere_one(base + u, cr)
+                    return cr
+                # Sub-chunk best-t tube gates: best_t keeps tightening as
+                # sub-chunks fold, so later sub-gates cut harder.
+                for sub in range(n_sub):
+                    reach = tube_reach(
+                        sgx, sgy, sgz, sgg, sgr2, c * n_sub + sub, cr[0]
+                    )
+                    cr = jax.lax.cond(
+                        jnp.any(reach),
+                        lambda cr_, sb=base + sub * _SUB: fold_sub(sb, cr_),
+                        lambda cr_: cr_, cr,
+                    )
                 return cr
 
             if not _TUBE_GATE:
                 return do_chunk((bt, bi))
-            # Tube gate: min distance^2 from the chunk's bounding sphere
-            # center to each ray's live segment [t0, min(t_ex, best_t)].
-            s_g = dx_s * gx[c] + dy_s * gy[c] + dz_s * gz[c]
-            m_g = ox_s * gx[c] + oy_s * gy[c] + oz_s * gz[c]
-            t1 = jnp.minimum(tex_s, bt)
-            tc = jnp.clip(s_g - do_s, t0_s, t1)
-            dist2 = oo_s - 2.0 * m_g + gg[c] + tc * (2.0 * (do_s - s_g) + tc)
-            reachable = ok_s & (t1 >= t0_s) & (dist2 <= gr2[c])
-
+            reachable = tube_reach(gx, gy, gz, gg, gr2, c, bt)
             return jax.lax.cond(
                 jnp.any(reachable), do_chunk, lambda cr: cr, (bt, bi)
             )
@@ -646,13 +679,15 @@ def _shortlist_fold_core(
 
 def _sm_dict(cx, cy, cz, cr2, nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz,
              px, py, pz, ln, wd, bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
-             chunk_list, counts, gx, gy, gz, gg, gr2, slab):
+             chunk_list, counts, gx, gy, gz, gg, gr2,
+             sgx, sgy, sgz, sgg, sgr2, slab):
     return dict(
         cx=cx, cy=cy, cz=cz, cr2=cr2, nx=nx, ny=ny, nz=nz, dpl=dpl,
         rx=rx, ry=ry, rz=rz, ux=ux, uy=uy, uz=uz, px=px, py=py, pz=pz,
         ln=ln, wd=wd, bmnx=bmnx, bmny=bmny, bmnz=bmnz, bmxx=bmxx,
         bmxy=bmxy, bmxz=bmxz, chunk_list=chunk_list, counts=counts,
-        gx=gx, gy=gy, gz=gz, gg=gg, gr2=gr2, slab=slab,
+        gx=gx, gy=gy, gz=gz, gg=gg, gr2=gr2,
+        sgx=sgx, sgy=sgy, sgz=sgz, sgg=sgg, sgr2=sgr2, slab=slab,
     )
 
 
@@ -667,6 +702,7 @@ def _kernel_shortlist(n_w: int, n_b: int, wall_base: int, box_base: int,
         chunk_list,  # [tiles * n_chunks] i32 candidate chunk ids (compacted)
         counts,      # [tiles] i32: -1 dead tile, else shortlist length
         gx, gy, gz, gg, gr2,  # chunk bounding spheres: center, |c|^2, (r+pad)^2
+        sgx, sgy, sgz, sgg, sgr2,  # sub-chunk bounding spheres (in-chunk gates)
         slab,        # [8] f32: sphere-set AABB lo.xyz, hi.xyz (+2 pad)
         ox, oy, oz, dx, dy, dz, amask,
         bt_ref, bi_ref,
@@ -674,7 +710,8 @@ def _kernel_shortlist(n_w: int, n_b: int, wall_base: int, box_base: int,
         sm = _sm_dict(
             cx, cy, cz, cr2, nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz,
             px, py, pz, ln, wd, bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
-            chunk_list, counts, gx, gy, gz, gg, gr2, slab,
+            chunk_list, counts, gx, gy, gz, gg, gr2,
+            sgx, sgy, sgz, sgg, sgr2, slab,
         )
         t = pl.program_id(0) * tiles_w + pl.program_id(1)
         vox, voy, voz = ox[:], oy[:], oz[:]
@@ -1025,7 +1062,8 @@ def _kernel_shortlist_hit(n_w: int, n_b: int, wall_base: int, box_base: int,
         cx, cy, cz, cr2,
         nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz, px, py, pz, ln, wd,
         bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
-        chunk_list, counts, gx, gy, gz, gg, gr2, slab,
+        chunk_list, counts, gx, gy, gz, gg, gr2,
+        sgx, sgy, sgz, sgg, sgr2, slab,
         srad,  # [n_s_pad] sphere radii (for the winner normal)
         mcr, mcg, mcb, mam, mmt, mdf, msp, mex,  # padded global materials
         ox, oy, oz, dx, dy, dz, amask,
@@ -1036,7 +1074,8 @@ def _kernel_shortlist_hit(n_w: int, n_b: int, wall_base: int, box_base: int,
         sm = _sm_dict(
             cx, cy, cz, cr2, nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz,
             px, py, pz, ln, wd, bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
-            chunk_list, counts, gx, gy, gz, gg, gr2, slab,
+            chunk_list, counts, gx, gy, gz, gg, gr2,
+            sgx, sgy, sgz, sgg, sgr2, slab,
         )
         sm.update(srad=srad, mcr=mcr, mcg=mcg, mcb=mcb, mam=mam, mmt=mmt,
                   mdf=mdf, msp=msp, mex=mex)
@@ -1218,6 +1257,7 @@ def _ray_stats(slab, rays, amask, gtables=None, *, sl_r: int,
     if gtables is None:
         gtables = tuple(jnp.zeros((1,), jnp.float32) for _ in range(5))
         n_chunks = 0
+    gtables = tuple(gtables)[:5]  # chunk-level spheres only (no sub tables)
     spec = pl.BlockSpec(
         (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
     )
@@ -1259,7 +1299,8 @@ def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
         cx, cy, cz, cr2,
         nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz, px, py, pz, ln, wd,
         bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
-        chunk_list, counts, gx, gy, gz, gg, gr2, slab,
+        chunk_list, counts, gx, gy, gz, gg, gr2,
+        sgx, sgy, sgz, sgg, sgr2, slab,
         srad, mcr, mcg, mcb, mam, mmt, mdf, msp, mex,
         lpx, lpy, lpz, lcr, lcg, lcb,  # point lights [n_pt or 1]
         sdx, sdy, sdz, scr, scg, scb,  # sun lights (pre-unit dirs)
@@ -1271,7 +1312,8 @@ def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
         sm = _sm_dict(
             cx, cy, cz, cr2, nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz,
             px, py, pz, ln, wd, bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
-            chunk_list, counts, gx, gy, gz, gg, gr2, slab,
+            chunk_list, counts, gx, gy, gz, gg, gr2,
+            sgx, sgy, sgz, sgg, sgr2, slab,
         )
         sm.update(srad=srad, mcr=mcr, mcg=mcg, mcb=mcb, mam=mam, mmt=mmt,
                   mdf=mdf, msp=msp, mex=mex)
@@ -1359,7 +1401,7 @@ def _trace_level(tables, chunk_list, counts, gtables, slab, mats, lights,
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=33 + 9 + 13,
+        num_scalar_prefetch=38 + 9 + 13,
         grid=grid,
         in_specs=[spec] * 10,
         out_specs=(spec,) * 12 + (stats_spec,),
@@ -1496,9 +1538,12 @@ def _trace_levels_pallas_impl(
             counts = jnp.where(alive, 0, -1).astype(jnp.int32).reshape(-1)
             n_chunks_eff = 1
             chunk_list = jnp.zeros((th_k * tw * _SLICES,), jnp.int32)
-            gtables = tuple(
-                jnp.zeros((1,), jnp.float32) for _ in range(4)
-            ) + (jnp.full((1,), -1.0, jnp.float32),)
+            gtables = (
+                tuple(jnp.zeros((1,), jnp.float32) for _ in range(4))
+                + (jnp.full((1,), -1.0, jnp.float32),)
+                + tuple(jnp.zeros((1,), jnp.float32) for _ in range(4))
+                + (jnp.full((1,), -1.0, jnp.float32),)
+            )
             slab = jnp.zeros((8,), jnp.float32)
         elif k > 0 and _PHASE_A_BOUNCE and sl_rb == sl_r:
             # Bounce shortlists from the PREVIOUS kernel's tile stats — the
@@ -1970,7 +2015,7 @@ def _fold_shortlist_hit(tables, chunk_list, counts, gtables, slab, mats,
         (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=33 + 9,
+        num_scalar_prefetch=38 + 9,
         grid=grid,
         in_specs=[spec] * 7,
         out_specs=(spec,) * 16,
@@ -1999,7 +2044,7 @@ def _fold_shortlist(tables, chunk_list, counts, gtables, slab, rays, *,
         (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=33,
+        num_scalar_prefetch=38,
         grid=grid,
         in_specs=[spec] * 7,
         out_specs=(spec, spec),
@@ -2063,7 +2108,43 @@ def _chunk_culling_tables(scene: Scene, n_chunks: int):
     gr = jnp.max(jnp.where(real_m, member_reach, -1.0), axis=1)
     chunk_nonempty = jnp.any(real_m, axis=1)
     gr2 = jnp.where(chunk_nonempty, (gr + _GATE_PAD) ** 2, -1.0)
-    gtables = (gx, gy, gz, gx * gx + gy * gy + gz * gz, gr2)
+
+    # Sub-chunk (8-sphere) bounding spheres for the in-chunk gates — same
+    # construction at _SUB granularity. Pad-only sub-chunks get r2 = -1 so
+    # their folds (the pad tail of the last chunk) are skipped for free.
+    n_sub = _UNROLL // _SUB if _UNROLL > _SUB else 1
+    if n_sub > 1:
+        def padded_s(x, fill):
+            if pad:
+                x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+            return x.reshape(n_chunks * n_sub, _SUB)
+
+        real_s = real.reshape(n_chunks * n_sub, _SUB)
+        s_lo, s_hi = [], []
+        for k in range(3):
+            smin = jnp.where(
+                real_s, padded_s(s.center[:, k] - s.radius, 0.0), BIG)
+            smax = jnp.where(
+                real_s, padded_s(s.center[:, k] + s.radius, 0.0), -BIG)
+            s_lo.append(smin.min(axis=1))
+            s_hi.append(smax.max(axis=1))
+        sgx = 0.5 * (s_lo[0] + s_hi[0])
+        sgy = 0.5 * (s_lo[1] + s_hi[1])
+        sgz = 0.5 * (s_lo[2] + s_hi[2])
+        sub_reach = jnp.sqrt(
+            (padded_s(s.center[:, 0], 0.0) - sgx[:, None]) ** 2
+            + (padded_s(s.center[:, 1], 0.0) - sgy[:, None]) ** 2
+            + (padded_s(s.center[:, 2], 0.0) - sgz[:, None]) ** 2
+        ) + padded_s(s.radius, 0.0)
+        sgr = jnp.max(jnp.where(real_s, sub_reach, -1.0), axis=1)
+        sgr2 = jnp.where(
+            jnp.any(real_s, axis=1), (sgr + _GATE_PAD) ** 2, -1.0)
+        sgg = sgx * sgx + sgy * sgy + sgz * sgz
+    else:
+        sgx = sgy = sgz = sgg = jnp.zeros((1,), jnp.float32)
+        sgr2 = jnp.full((1,), -1.0, jnp.float32)
+    gtables = (gx, gy, gz, gx * gx + gy * gy + gz * gz, gr2,
+               sgx, sgy, sgz, sgg, sgr2)
     slab = jnp.concatenate([lo, hi, jnp.zeros((2,), jnp.float32)])
     return c_lo, c_hi, gtables, gr, slab
 
@@ -2086,7 +2167,7 @@ def _phase_a_from_stats(c_lo, c_hi, gtables, gr, stats, n_chunks: int,
     accepts nearly every chunk."""
     BIG = jnp.float32(1e30)
     rx_lo, rx_hi, ry_lo, ry_hi, rz_lo, rz_hi, px0, py0, pz0, alive = stats
-    gx, gy, gz, _, _ = gtables
+    gx, gy, gz = gtables[:3]
 
     def overlap(r_lo, r_hi, k):
         return (c_lo[k] <= r_hi[..., None]) & (c_hi[k] >= r_lo[..., None])
@@ -2155,7 +2236,7 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
         with_reach = _TUBE_SHORTLIST and n_chunks <= _chunk_reach_capacity()
         s_all = _ray_stats(
             slab, rays, act.astype(jnp.float32),
-            gtables if with_reach else None,
+            gtables[:5] if with_reach else None,
             sl_r=sl_r, n_chunks=n_chunks if with_reach else 0,
             interpret=False,
         )
@@ -2326,8 +2407,11 @@ def _hit_closest_pallas_shortlist_impl(
         counts = jnp.where(alive, 0, -1).astype(jnp.int32).reshape(-1)
         n_chunks_eff = 1
         chunk_list = jnp.zeros((th * tw * _SLICES,), jnp.int32)
-        gtables = tuple(jnp.zeros((1,), jnp.float32) for _ in range(4)) + (
-            jnp.full((1,), -1.0, jnp.float32),
+        gtables = (
+            tuple(jnp.zeros((1,), jnp.float32) for _ in range(4))
+            + (jnp.full((1,), -1.0, jnp.float32),)
+            + tuple(jnp.zeros((1,), jnp.float32) for _ in range(4))
+            + (jnp.full((1,), -1.0, jnp.float32),)
         )
         slab = jnp.zeros((8,), jnp.float32)
     else:
@@ -2404,8 +2488,11 @@ def _fold_closest_pallas_shortlist_impl(
         counts = jnp.where(alive, 0, -1).astype(jnp.int32).reshape(-1)
         n_chunks_eff = 1
         chunk_list = jnp.zeros((th * tw * _SLICES,), jnp.int32)
-        gtables = tuple(jnp.zeros((1,), jnp.float32) for _ in range(4)) + (
-            jnp.full((1,), -1.0, jnp.float32),
+        gtables = (
+            tuple(jnp.zeros((1,), jnp.float32) for _ in range(4))
+            + (jnp.full((1,), -1.0, jnp.float32),)
+            + tuple(jnp.zeros((1,), jnp.float32) for _ in range(4))
+            + (jnp.full((1,), -1.0, jnp.float32),)
         )
         slab = jnp.zeros((8,), jnp.float32)
     else:

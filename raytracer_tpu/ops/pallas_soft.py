@@ -12,6 +12,24 @@ a second kernel (the architecture of the hard path's trace megakernels,
 ops/pallas_fold.py) — parameter cotangents reduce in-kernel to one
 per-tile scalar block.
 
+Primitive streaming (round 4): spheres are no longer unrolled into the
+kernel body. Both kernels `fori_loop` over 8-sphere chunks, reading the
+per-sphere scalars from the scalar-prefetch tables at runtime indices, so
+Mosaic compile time is O(chunk), not O(N) — this lifts the old 128-sphere
+kernel cap to 1024 (the c5 scale) with one compiled body.
+
+Soft tube gate (round 4): each chunk carries a bounding sphere inflated by
+the coverage sigmoid's f32 underflow width. A sphere's coverage is
+``sigmoid(disc / (2 r tau))``, which is EXACTLY 0.0 in f32 once the
+argument is below about -104 (tanh/exp both underflow past the smallest
+denormal), and every cotangent through it is then exactly 0 too. So a
+chunk whose inflated bounding sphere the ray line cannot approach — or
+that lies entirely behind the ray origin by more than the behind-camera
+sigmoid's underflow width — contributes EXACT ZEROS to the composite and
+to every gradient, and the kernels `lax.cond`-skip it. This is the hard
+path's best-t tube gate (ops/pallas_fold.py) transplanted to the soft
+path, bit-exact by construction rather than by argmin monotonicity.
+
 Math parity: the per-primitive coverage/depth-softmax/shading formulas are
 IMPORTED from diff/soft.py (`_sphere_alpha_t_scalar`, `_wall_alpha_t_scalar`,
 `_box_alpha_t_scalar`, `_shade_point_scalar`), so the kernel path and the
@@ -47,22 +65,37 @@ __all__ = ["soft_trace_pallas", "soft_pallas_supported"]
 
 # Forward row-tile height.
 _SOFT_SL_R = int(os.environ.get("RT_SOFT_SL_R", "32"))
-# Backward row-tile height: the in-kernel vjp keeps every sphere's
-# residuals (alpha/e/t/point/normal/col, ~15 planes each) live in VMEM —
-# remat is unavailable (Mosaic cannot lower remat2) — so the live set is
-# bounded by a finer tile: 64 spheres x 15 planes x (8 x 128 x 4 B) ~ 4 MB.
-_SOFT_SL_R_BWD = int(os.environ.get("RT_SOFT_SL_R_BWD", "8"))
-# Sphere-table granularity (padding quantum).
+# Backward row-tile height. The streaming per-sphere vjp keeps only ONE
+# sphere's residuals (~15 planes) live, so tall tiles fit VMEM easily and
+# win decisively on cond/loop overhead (v5e sweep 2026-08-20,
+# process-per-config, fit step 1080p d1: 64 spheres 8/16/32 ->
+# 57.6/45.5/41.1 ms; 1024 spheres -> 864/686/642 ms). 32 == the forward
+# tile; going taller requires raising RT_SOFT_SL_R too (the backward
+# re-tiles the forward's padded planes).
+_SOFT_SL_R_BWD = int(os.environ.get("RT_SOFT_SL_R_BWD", "32"))
+# Sphere-table granularity (padding quantum AND the fori_loop chunk size).
 _SOFT_CHUNK = 8
 # Backward-kernel scoped-VMEM cap (see the compiler_params note below).
 _SOFT_BWD_VMEM_LIMIT = int(
     os.environ.get("RT_SOFT_BWD_VMEM", str(64 * 1024 * 1024))
 )
-# Kernel-path cap: the level function unrolls every primitive, so Mosaic
-# compile time grows with the count; beyond the cap trace_soft keeps the
-# chunk-scanned XLA path (which exists precisely for huge-N compiles).
-_SOFT_MAX_SPHERES = int(os.environ.get("RT_SOFT_PALLAS_MAX_SPHERES", "128"))
+# Kernel-path sphere cap: the backward's per-key cotangent accumulators are
+# (8, 128) lane-slot planes (sphere i -> row i//128, lane i%128), so the
+# layout holds exactly 1024 spheres. The chunk-streamed loop body compiles
+# in O(1), so this is a LAYOUT limit, not a compile-time one; beyond it
+# trace_soft falls back to the chunk-scanned XLA path.
+_SOFT_MAX_SPHERES = min(
+    int(os.environ.get("RT_SOFT_PALLAS_MAX_SPHERES", "1024")), 1024
+)
 _SOFT_PALLAS = os.environ.get("RT_SOFT_PALLAS", "1") != "0"
+# Soft tube gate (A/B knob). Margins are in sigmoid-argument units: f32
+# sigmoid underflows to exactly 0.0 below ~-104 (exp(-104) < the smallest
+# f32 denormal; the tanh form rounds to -1 far earlier); 256 leaves >2x
+# headroom for f32 rounding in disc itself.
+_SOFT_TUBE_GATE = os.environ.get("RT_SOFT_TUBE_GATE", "1") != "0"
+_GATE_SIG_MARGIN = 256.0
+_GATE_T_MARGIN = 192.0
+_SOFT_GATE_PAD = 1e-2  # absolute bounding-sphere inflation (f32 drift)
 
 _FAR = 1e4  # mirror diff/soft.py: reference depth for rays that hit nothing
 _ALPHA_REF = 0.3
@@ -102,8 +135,9 @@ def _pad_to(x, n, fill):
 
 
 def _soft_param_arrays(scene: Scene, tau, tau_z, n_s_pad: int) -> dict:
-    """dict[str, f32[...]] of all level-math scalars (sorted-key order is
-    the packing order everywhere: kernel prefetch, cotangent block, unpack).
+    """dict[str, f32[...]] of all level-math scalars. The sorted-key order
+    of the NON-sphere keys is the packing order for the backward's static
+    cotangent block; sphere keys (``s_*``) ride their own lane-slot planes.
 
     Pad spheres are never-hit (center 1e8 -> coverage sigmoid underflows to
     exactly 0, mirroring `_sphere_param_chunks`)."""
@@ -182,11 +216,12 @@ _WALL_GEO_KEYS = ("nx", "ny", "nz", "rx", "ry", "rz", "ux", "uy", "uz",
                   "px", "py", "pz", "dplane", "length", "width")
 _MAT_KEYS = ("colr", "colg", "colb", "amb", "kd", "ks", "exp", "met")
 _BOX_GEO_KEYS = ("mnx", "mny", "mnz", "mxx", "mxy", "mxz")
+_GATE_KEYS = ("gcx", "gcy", "gcz", "gg", "gr2", "gsm")
 
 
 def _n_s_pad(scene: Scene) -> int:
-    """Sphere table size: a whole number of checkpoint chunks, >= 1 chunk
-    (a sphere-less scene carries one never-hit pad chunk — alpha == 0)."""
+    """Sphere table size: a whole number of chunks, >= 1 chunk (a
+    sphere-less scene carries one never-hit pad chunk — alpha == 0)."""
     return max(
         -(-len(scene.spheres) // _SOFT_CHUNK) * _SOFT_CHUNK, _SOFT_CHUNK
     )
@@ -203,29 +238,112 @@ def _counts(scene: Scene, n_s_pad: int) -> dict:
     }
 
 
+def _soft_gate_arrays(scene: Scene, tau, n_s_pad: int) -> list:
+    """Per-chunk gate tables (stop-gradient: gates are control flow whose
+    skipped branches are exact zeros; see the module docstring).
+
+    Returns ``[gcx, gcy, gcz, gg, gr2, gsm]`` (each ``f32[n_chunks]``):
+    chunk bounding center, its |gc|^2, the squared gate radius (member
+    offset + sigmoid-underflow-inflated radius + pad, maxed over the
+    chunk's VALID members — pad spheres at 1e8 are exact zeros with or
+    without the gate, so they don't belong in the bound), and the member
+    spread for the behind-origin test. All-pad chunks get gr2 = -1
+    (never reachable)."""
+    sg = jax.lax.stop_gradient
+    n = len(scene.spheres)
+    n_chunks = n_s_pad // _SOFT_CHUNK
+    c = sg(jnp.asarray(scene.spheres.center, jnp.float32)).reshape(-1, 3)
+    if n_s_pad > n:
+        c = jnp.pad(c, ((0, n_s_pad - n), (0, 0)))
+    r = _pad_to(sg(jnp.asarray(scene.spheres.radius, jnp.float32)),
+                n_s_pad, 0.0)
+    valid = (jnp.arange(n_s_pad) < n).reshape(n_chunks, _SOFT_CHUNK)
+    c3 = c.reshape(n_chunks, _SOFT_CHUNK, 3)
+    rr = r.reshape(n_chunks, _SOFT_CHUNK)
+    nv = valid.sum(axis=1)
+    gc = (c3 * valid[..., None]).sum(axis=1) / jnp.maximum(nv, 1)[..., None]
+    off = jnp.sqrt(jnp.sum((c3 - gc[:, None, :]) ** 2, axis=-1))
+    # alpha1 = sigmoid(disc / (2 r tau)) with disc_max = r^2 - rho^2 on the
+    # unit-direction line: exactly 0 once rho^2 > r^2 + MARGIN * r * tau.
+    r_eff = jnp.sqrt(rr * rr + _GATE_SIG_MARGIN * rr * sg(
+        jnp.asarray(tau, jnp.float32)))
+    gr = jnp.max(jnp.where(valid, off + r_eff, 0.0), axis=1) + _SOFT_GATE_PAD
+    gr2 = jnp.where(nv > 0, gr * gr, -1.0)
+    gsm = jnp.max(jnp.where(valid, off, 0.0), axis=1) + _SOFT_GATE_PAD
+    return [gc[:, 0], gc[:, 1], gc[:, 2], jnp.sum(gc * gc, axis=-1),
+            gr2, gsm]
+
+
 def _tbls_from(read, sizes: dict) -> dict:
     """dict[str, tuple-of-scalars] from ``read(key, i)`` (array or SMEM ref).
 
     Tuple lengths follow the ARRAY sizes (incl. the max(n,1) placeholders),
     so the vjp cotangent tree flattens to exactly one scalar per array
-    element — the packing contract with `_unpack_param_cts`."""
+    element — the packing contract with the backward's static block."""
     return {k: tuple(read(k, i) for i in range(n)) for k, n in sizes.items()}
 
 
-def _array_sizes(arrs: dict) -> dict:
-    return {k: int(arrs[k].shape[0]) for k in sorted(arrs)}
-
-
 # ---------------------------------------------------------------------------
-# The level function: ONE reflection level of the soft compositor, a pure
-# function of (param scalars, rays, throughput, t_ref). Both kernels call
-# it; the backward kernel jax.vjp's it — identical math by construction.
+# The level function: ONE reflection level of the soft compositor. Spheres
+# stream through `sread` (dynamic table reads) in gated chunks; walls and
+# boxes unroll from the shared tables. Both kernels call these; the
+# backward kernel jax.vjp's them — identical math by construction.
 # ---------------------------------------------------------------------------
 
 
-def _soft_t_ref(tbls, o, d, cnt):
+def _lights_of(tbls, cnt):
+    """((pt light 6-tuples...), (sun light 6-tuples...)) of traced scalars."""
+    pt = tuple(
+        (tbls["l_px"][j], tbls["l_py"][j], tbls["l_pz"][j],
+         tbls["l_cr"][j], tbls["l_cg"][j], tbls["l_cb"][j])
+        for j in range(cnt["n_pt"])
+    )
+    sun = tuple(
+        (tbls["l_sdx"][j], tbls["l_sdy"][j], tbls["l_sdz"][j],
+         tbls["l_scr"][j], tbls["l_scg"][j], tbls["l_scb"][j])
+        for j in range(cnt["n_sun"])
+    )
+    return pt, sun
+
+
+def _tile_geom(rays6, w):
+    """Per-tile invariants the chunk gate reuses: (oo, do, w) with
+    oo = o.o, do = d.o (directions are unit by the raygen/reflect
+    invariants, CLAUDE.md layout facts)."""
+    ox, oy, oz, dx, dy, dz = rays6
+    oo = ox * ox + oy * oy + oz * oz
+    do = dx * ox + dy * oy + dz * oz
+    return oo, do, w
+
+
+def _chunk_reachable(gate, c, rays6, geom, tau):
+    """Any-lane reach test for sphere chunk ``c`` (see module docstring).
+
+    Exact-skip conditions per member sphere when this is False for a lane:
+    either the ray LINE stays outside the sigmoid-underflow-inflated
+    radius (coverage factor exactly 0 in f32), or the whole chunk sits
+    behind the origin past the behind-camera sigmoid's underflow width
+    (t <= tc + spread <= -MARGIN * tau -> second factor exactly 0)."""
+    ox, oy, oz, dx, dy, dz = rays6
+    oo, do, w = geom
+    gcx, gcy, gcz = gate["gcx"][c], gate["gcy"][c], gate["gcz"][c]
+    s_g = dx * gcx + dy * gcy + dz * gcz
+    ogc = ox * gcx + oy * gcy + oz * gcz
+    tc = s_g - do  # closest-approach parameter on the full line (unit d)
+    dist2 = oo - 2.0 * ogc + gate["gg"][c] + tc * (2.0 * (do - s_g) + tc)
+    tau_eff = jnp.maximum(tau, 1e-6)
+    behind_ok = tc + gate["gsm"][c] > -_GATE_T_MARGIN * tau_eff
+    return (w > 0.0) & (dist2 <= gate["gr2"][c]) & behind_ok
+
+
+def _fold_ref(t_ref, alpha, t):
+    return jnp.minimum(t_ref, jnp.where(alpha > _ALPHA_REF, t, _FAR))
+
+
+def _soft_t_ref(tbls, sread, gate, rays6, geom, cnt):
     """Hard front depth per ray — the stop-gradiented softmax anchor
-    (mirrors trace_soft pass 1)."""
+    (mirrors trace_soft pass 1). Gated chunks have alpha == 0 < _ALPHA_REF
+    for every member, so skipping them is exact."""
     from raytracer_tpu.diff.soft import (
         _box_alpha_t_scalar,
         _sphere_alpha_t_scalar,
@@ -233,80 +351,41 @@ def _soft_t_ref(tbls, o, d, cnt):
     )
 
     tau = tbls["z_tau"][0]
-    t_ref = (o.x + d.x) * 0.0 + _FAR
+    o = V3(rays6[0], rays6[1], rays6[2])
+    d = V3(rays6[3], rays6[4], rays6[5])
+    t_ref0 = (o.x + d.x) * 0.0 + _FAR
+    n_chunks = cnt["n_s_pad"] // _SOFT_CHUNK
 
-    def fold_ref(t_ref, alpha, t):
-        return jnp.minimum(t_ref, jnp.where(alpha > _ALPHA_REF, t, _FAR))
+    def chunk_body(c, t_ref):
+        def do_chunk(tr):
+            for u in range(_SOFT_CHUNK):
+                idx = c * _SOFT_CHUNK + u
+                p = {k: sread(k, idx) for k in ("cx", "cy", "cz", "r")}
+                alpha, t, _, _ = _sphere_alpha_t_scalar(p, o, d, tau)
+                tr = _fold_ref(tr, alpha, t)
+            return tr
 
-    for i in range(cnt["n_s_pad"]):
-        p = {"cx": tbls["s_cx"][i], "cy": tbls["s_cy"][i],
-             "cz": tbls["s_cz"][i], "r": tbls["s_r"][i]}
-        alpha, t, _, _ = _sphere_alpha_t_scalar(p, o, d, tau)
-        t_ref = fold_ref(t_ref, alpha, t)
+        if not _SOFT_TUBE_GATE:
+            return do_chunk(t_ref)
+        reach = _chunk_reachable(gate, c, rays6, geom, tau)
+        return jax.lax.cond(jnp.any(reach), do_chunk, lambda tr: tr, t_ref)
+
+    t_ref = jax.lax.fori_loop(0, n_chunks, chunk_body, t_ref0)
     for i in range(cnt["n_w"]):
         p = {k: tbls["w_" + k][i] for k in _WALL_GEO_KEYS}
         alpha, t, _, _ = _wall_alpha_t_scalar(p, o, d, tau)
-        t_ref = fold_ref(t_ref, alpha, t)
+        t_ref = _fold_ref(t_ref, alpha, t)
     for i in range(cnt["n_b"]):
         p = {k: tbls["b_" + k][i] for k in _BOX_GEO_KEYS}
         alpha, t, _, _ = _box_alpha_t_scalar(p, o, d, tau)
-        t_ref = fold_ref(t_ref, alpha, t)
+        t_ref = _fold_ref(t_ref, alpha, t)
     return t_ref
 
 
-def _prim_list(cnt) -> tuple:
-    """Composite order: spheres, walls, boxes (diff/soft.py trace_soft)."""
-    return (
-        tuple(("s", i) for i in range(cnt["n_s_pad"]))
-        + tuple(("w", i) for i in range(cnt["n_w"]))
-        + tuple(("b", i) for i in range(cnt["n_b"]))
-    )
-
-
-def _soft_contrib(tbls, rays6, t_ref, kind: str, i: int, *, cnt,
-                  is_last: bool):
-    """Primitive (kind, i)'s additive contribution to the composite carry:
-    ``(e, e * payload..., log1p(1 - alpha))`` — diff/soft.py `fold_in`'s
-    increments. The streaming backward `jax.vjp`s THIS per primitive, so
-    only one primitive's intermediates are ever live (Mosaic cannot lower
-    remat2, and the whole-loop vjp's residuals overflow VMEM: measured
-    19.9 MB at an (8, 128) tile for 64 spheres)."""
-    from raytracer_tpu.diff.soft import (
-        _box_alpha_t_scalar,
-        _shade_point_scalar,
-        _sphere_alpha_t_scalar,
-        _wall_alpha_t_scalar,
-    )
-
-    tau, tau_z = tbls["z_tau"][0], tbls["z_tau_z"][0]
-    o = V3(rays6[0], rays6[1], rays6[2])
-    d = V3(rays6[3], rays6[4], rays6[5])
-    view = -d
-    pt_lights = tuple(
-        (tbls["l_px"][j], tbls["l_py"][j], tbls["l_pz"][j],
-         tbls["l_cr"][j], tbls["l_cg"][j], tbls["l_cb"][j])
-        for j in range(cnt["n_pt"])
-    )
-    sun_lights = tuple(
-        (tbls["l_sdx"][j], tbls["l_sdy"][j], tbls["l_sdz"][j],
-         tbls["l_scr"][j], tbls["l_scg"][j], tbls["l_scb"][j])
-        for j in range(cnt["n_sun"])
-    )
-    if kind == "s":
-        p = {k: tbls["s_" + k][i] for k in _SPH_KEYS}
-        alpha, t, point, n = _sphere_alpha_t_scalar(p, o, d, tau)
-    elif kind == "w":
-        p = {k: tbls["w_" + k][i] for k in _WALL_GEO_KEYS + _MAT_KEYS}
-        alpha, t, point, n = _wall_alpha_t_scalar(p, o, d, tau)
-    else:
-        p = {k: tbls["b_" + k][i] for k in _BOX_GEO_KEYS + _MAT_KEYS}
-        alpha, t, point, n = _box_alpha_t_scalar(p, o, d, tau)
-    col = _shade_point_scalar(
-        point, n, view, V3(p["colr"], p["colg"], p["colb"]),
-        p["amb"], p["kd"], p["ks"], p["exp"], pt_lights, sun_lights,
-    )
-    met = p["met"]
-    # diff/soft.py fold_in: linear-space depth softmax, bounded logits.
+def _contrib_of(alpha, t, point, n, col, met, t_ref, tau_z, *, is_last):
+    """diff/soft.py `fold_in`'s additive increments for one primitive:
+    ``(e, e * payload..., log1p(1 - alpha))`` — linear-space depth softmax,
+    bounded logits."""
     e = alpha * jnp.exp(-jnp.maximum(t - t_ref, 0.0) / tau_z)
     if is_last:
         pay = (col.x, col.y, col.z)
@@ -319,17 +398,96 @@ def _soft_contrib(tbls, rays6, t_ref, kind: str, i: int, *, cnt,
     )
 
 
-def _soft_stream_sums(tbls, rays6, w, t_ref, *, cnt, is_last: bool):
-    """The composite carry (s, payload sums, log_transmit): primitives
-    folded in trace_soft's order, each via `_soft_contrib`."""
+def _sphere_contrib(lts, tau, tau_z, p, rays6, t_ref, *, is_last: bool):
+    """Sphere (p)'s contribution from its 12 traced scalars. The backward
+    `jax.vjp`s THIS per sphere, so only one sphere's intermediates are
+    ever live (Mosaic cannot lower remat2, and a whole-loop vjp's
+    residuals overflow VMEM: measured 19.9 MB at an (8, 128) tile for 64
+    spheres)."""
+    from raytracer_tpu.diff.soft import (
+        _shade_point_scalar,
+        _sphere_alpha_t_scalar,
+    )
+
+    o = V3(rays6[0], rays6[1], rays6[2])
+    d = V3(rays6[3], rays6[4], rays6[5])
+    alpha, t, point, n = _sphere_alpha_t_scalar(p, o, d, tau)
+    col = _shade_point_scalar(
+        point, n, -d, V3(p["colr"], p["colg"], p["colb"]),
+        p["amb"], p["kd"], p["ks"], p["exp"], lts[0], lts[1],
+    )
+    return _contrib_of(alpha, t, point, n, col, p["met"], t_ref, tau_z,
+                       is_last=is_last)
+
+
+def _wb_contrib(tbls, rays6, t_ref, kind: str, i: int, *, cnt,
+                is_last: bool):
+    """Wall/box (kind, i)'s contribution from the shared tables (these are
+    few; they stay statically unrolled)."""
+    from raytracer_tpu.diff.soft import (
+        _box_alpha_t_scalar,
+        _shade_point_scalar,
+        _wall_alpha_t_scalar,
+    )
+
+    tau, tau_z = tbls["z_tau"][0], tbls["z_tau_z"][0]
+    o = V3(rays6[0], rays6[1], rays6[2])
+    d = V3(rays6[3], rays6[4], rays6[5])
+    lts = _lights_of(tbls, cnt)
+    if kind == "w":
+        p = {k: tbls["w_" + k][i] for k in _WALL_GEO_KEYS + _MAT_KEYS}
+        alpha, t, point, n = _wall_alpha_t_scalar(p, o, d, tau)
+    else:
+        p = {k: tbls["b_" + k][i] for k in _BOX_GEO_KEYS + _MAT_KEYS}
+        alpha, t, point, n = _box_alpha_t_scalar(p, o, d, tau)
+    col = _shade_point_scalar(
+        point, n, -d, V3(p["colr"], p["colg"], p["colb"]),
+        p["amb"], p["kd"], p["ks"], p["exp"], lts[0], lts[1],
+    )
+    return _contrib_of(alpha, t, point, n, col, p["met"], t_ref, tau_z,
+                       is_last=is_last)
+
+
+def _zero_carry(w, is_last: bool):
     zero = w * 0.0
     n_pay = 3 if is_last else 13
-    carry = (zero,) + (zero,) * n_pay + (zero,)
-    for kind, i in _prim_list(cnt):
-        contrib = _soft_contrib(
-            tbls, rays6, t_ref, kind, i, cnt=cnt, is_last=is_last
-        )
-        carry = tuple(a + c for a, c in zip(carry, contrib))
+    return (zero,) + (zero,) * n_pay + (zero,)
+
+
+def _soft_stream_sums(tbls, sread, gate, rays6, geom, w, t_ref, *, cnt,
+                      is_last: bool):
+    """The composite carry (s, payload sums, log_transmit): sphere chunks
+    stream through the gated fori_loop (same composite order as
+    trace_soft: spheres, then walls, then boxes — x + 0.0 is exact in f32,
+    so gated skips never perturb the sums)."""
+    tau, tau_z = tbls["z_tau"][0], tbls["z_tau_z"][0]
+    lts = _lights_of(tbls, cnt)
+    n_chunks = cnt["n_s_pad"] // _SOFT_CHUNK
+    carry0 = _zero_carry(w, is_last)
+
+    def chunk_body(c, carry):
+        def do_chunk(cr):
+            for u in range(_SOFT_CHUNK):
+                idx = c * _SOFT_CHUNK + u
+                p = {k: sread(k, idx) for k in _SPH_KEYS}
+                contrib = _sphere_contrib(
+                    lts, tau, tau_z, p, rays6, t_ref, is_last=is_last
+                )
+                cr = tuple(a + v for a, v in zip(cr, contrib))
+            return cr
+
+        if not _SOFT_TUBE_GATE:
+            return do_chunk(carry)
+        reach = _chunk_reachable(gate, c, rays6, geom, tau)
+        return jax.lax.cond(jnp.any(reach), do_chunk, lambda cr: cr, carry)
+
+    carry = jax.lax.fori_loop(0, n_chunks, chunk_body, carry0)
+    for kind, n in (("w", cnt["n_w"]), ("b", cnt["n_b"])):
+        for i in range(n):
+            contrib = _wb_contrib(
+                tbls, rays6, t_ref, kind, i, cnt=cnt, is_last=is_last
+            )
+            carry = tuple(a + v for a, v in zip(carry, contrib))
     return carry
 
 
@@ -370,17 +528,10 @@ def _soft_post(tbls, carry, rays6, w, *, cnt, is_last: bool):
     p_hat = V3(cpx, cpy, cpz) * inv_s
     n_hat = (V3(cnx, cny, cnz) * inv_s).normalized(eps=1e-12)
     refl_o = p_hat + n_hat * jnp.maximum(_REFLECT_EPS, 6.0 * tau)
-    refl_d = d.reflect(n_hat)
+    refl_d = V3(rays6[3], rays6[4], rays6[5]).reflect(n_hat)
     w_next = w * (m_hat * coverage)
     return (w * lr, w * lg, w * lb, w_next,
             refl_o.x, refl_o.y, refl_o.z, refl_d.x, refl_d.y, refl_d.z)
-
-
-def _soft_level_math(tbls, rays6, w, t_ref, *, cnt, is_last: bool):
-    """(ar_inc, ag_inc, ab_inc, w_next, refl o3 + d3) for one level:
-    stream the primitive contributions, then the composite tail."""
-    carry = _soft_stream_sums(tbls, rays6, w, t_ref, cnt=cnt, is_last=is_last)
-    return _soft_post(tbls, carry, rays6, w, cnt=cnt, is_last=is_last)
 
 
 # ---------------------------------------------------------------------------
@@ -390,26 +541,32 @@ def _soft_level_math(tbls, rays6, w, t_ref, *, cnt, is_last: bool):
 
 def _kernel_soft_level(keys, sizes, cnt, is_last: bool):
     n_tbl = len(keys)
+    n_ref = n_tbl + len(_SPH_KEYS) + len(_GATE_KEYS)
 
     def kernel(*refs):
-        tbls = _tbls_from(
-            lambda k, i: refs[keys.index(k)][i], sizes
-        )
+        tbls = _tbls_from(lambda k, i: refs[keys.index(k)][i], sizes)
+        sph = {k: refs[n_tbl + j] for j, k in enumerate(_SPH_KEYS)}
+        gate = {
+            k: refs[n_tbl + len(_SPH_KEYS) + j]
+            for j, k in enumerate(_GATE_KEYS)
+        }
         (ox, oy, oz, dx, dy, dz, w_in, ar_in, ag_in, ab_in) = refs[
-            n_tbl:n_tbl + 10
+            n_ref:n_ref + 10
         ]
         (ar_ref, ag_ref, ab_ref, w_ref,
          nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref) = refs[
-            n_tbl + 10:
+            n_ref + 10:
         ]
         rays6 = (ox[:], oy[:], oz[:], dx[:], dy[:], dz[:])
         w = w_in[:]
-        o = V3(*rays6[:3])
-        d = V3(*rays6[3:])
-        t_ref = _soft_t_ref(tbls, o, d, cnt)
-        outs = _soft_level_math(
-            tbls, rays6, w, t_ref, cnt=cnt, is_last=is_last
+        geom = _tile_geom(rays6, w)
+        sread = lambda k, i: sph[k][i]
+        t_ref = _soft_t_ref(tbls, sread, gate, rays6, geom, cnt)
+        carry = _soft_stream_sums(
+            tbls, sread, gate, rays6, geom, w, t_ref, cnt=cnt,
+            is_last=is_last,
         )
+        outs = _soft_post(tbls, carry, rays6, w, cnt=cnt, is_last=is_last)
         ar_ref[:] = ar_in[:] + outs[0]
         ag_ref[:] = ag_in[:] + outs[1]
         ab_ref[:] = ab_in[:] + outs[2]
@@ -422,31 +579,68 @@ def _kernel_soft_level(keys, sizes, cnt, is_last: bool):
     return kernel
 
 
+def _merge_light_tau_cts(ct_tbls, ct_lts, ct_tau, ct_tau_z, cnt):
+    """Fold the sphere loop's light/tau cotangents (accumulated as their
+    own small trees) back into the shared-table cotangent tree."""
+    out = dict(ct_tbls)
+    pt_keys = ("l_px", "l_py", "l_pz", "l_cr", "l_cg", "l_cb")
+    sun_keys = ("l_sdx", "l_sdy", "l_sdz", "l_scr", "l_scg", "l_scb")
+    for j in range(cnt["n_pt"]):
+        for q, k in enumerate(pt_keys):
+            t = list(out[k])
+            t[j] = t[j] + ct_lts[0][j][q]
+            out[k] = tuple(t)
+    for j in range(cnt["n_sun"]):
+        for q, k in enumerate(sun_keys):
+            t = list(out[k])
+            t[j] = t[j] + ct_lts[1][j][q]
+            out[k] = tuple(t)
+    out["z_tau"] = (out["z_tau"][0] + ct_tau,)
+    out["z_tau_z"] = (out["z_tau_z"][0] + ct_tau_z,)
+    return out
+
+
 def _kernel_soft_level_bwd(keys, sizes, cnt, is_last: bool, ct_rows: int):
     n_tbl = len(keys)
+    n_ref = n_tbl + len(_SPH_KEYS) + len(_GATE_KEYS)
+    n_chunks = cnt["n_s_pad"] // _SOFT_CHUNK
+    sct_rows = len(_SPH_KEYS) * 8  # per-key (8, 128) lane-slot planes
 
     def kernel(*refs):
         tbls = _tbls_from(lambda k, i: refs[keys.index(k)][i], sizes)
+        sph = {k: refs[n_tbl + j] for j, k in enumerate(_SPH_KEYS)}
+        gate = {
+            k: refs[n_tbl + len(_SPH_KEYS) + j]
+            for j, k in enumerate(_GATE_KEYS)
+        }
         (ox, oy, oz, dx, dy, dz, w_in,
          car, cag, cab, cnox, cnoy, cnoz, cndx, cndy, cndz, cwn) = refs[
-            n_tbl:n_tbl + 17
+            n_ref:n_ref + 17
         ]
         (cox_ref, coy_ref, coz_ref, cdx_ref, cdy_ref, cdz_ref, cw_ref,
-         pct_ref) = refs[n_tbl + 17:]
+         pct_ref, sct_ref) = refs[n_ref + 17:]
         rays6 = (ox[:], oy[:], oz[:], dx[:], dy[:], dz[:])
         w = w_in[:]
-        t_ref = _soft_t_ref(tbls, V3(*rays6[:3]), V3(*rays6[3:]), cnt)
+        geom = _tile_geom(rays6, w)
+        sread = lambda k, i: sph[k][i]
+        tau = tbls["z_tau"][0]
+        tau_z = tbls["z_tau_z"][0]
+        lts = _lights_of(tbls, cnt)
+        t_ref = _soft_t_ref(tbls, sread, gate, rays6, geom, cnt)
         cts = (car[:], cag[:], cab[:], cwn[:],
                cnox[:], cnoy[:], cnoz[:], cndx[:], cndy[:], cndz[:])
 
-        # Streaming reverse sweep (manual outer transpose; see
-        # `_soft_contrib`): (1) replay the carry sums, (2) vjp the
+        # Streaming reverse sweep (manual outer transpose): (1) replay the
+        # carry sums (gated — identical to the forward's), (2) vjp the
         # composite tail for the carry cotangent, (3) vjp each primitive's
         # contribution independently — the carry is a plain sum, so the
         # sum's cotangent IS each contribution's cotangent. Per-primitive
         # residuals die immediately; the live set is O(1 primitive).
+        # Gated chunks' cotangents are exact zeros (module docstring), so
+        # the same cond skips their vjps.
         carry = _soft_stream_sums(
-            tbls, rays6, w, t_ref, cnt=cnt, is_last=is_last
+            tbls, sread, gate, rays6, geom, w, t_ref, cnt=cnt,
+            is_last=is_last,
         )
 
         def post_f(tbls_t, carry_t, rays_t, w_t):
@@ -458,16 +652,74 @@ def _kernel_soft_level_bwd(keys, sizes, cnt, is_last: bool, ct_rows: int):
         ct_tbls, ct_carry, ct_rays, ct_w = vjp_post(cts)
 
         add = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
-        for kind, i in _prim_list(cnt):
-            def contrib_f(tbls_t, rays_t, kind=kind, i=i):
-                return _soft_contrib(
-                    tbls_t, rays_t, t_ref, kind, i, cnt=cnt, is_last=is_last
-                )
 
-            _, vjp_c = jax.vjp(contrib_f, tbls, rays6)
-            ct_tbls_i, ct_rays_i = vjp_c(ct_carry)
-            ct_tbls = add(ct_tbls, ct_tbls_i)
-            ct_rays = add(ct_rays, ct_rays_i)
+        # Walls/boxes: static per-primitive vjps into the shared ct tree.
+        for kind, n in (("w", cnt["n_w"]), ("b", cnt["n_b"])):
+            for i in range(n):
+                def contrib_f(tbls_t, rays_t, kind=kind, i=i):
+                    return _wb_contrib(
+                        tbls_t, rays_t, t_ref, kind, i, cnt=cnt,
+                        is_last=is_last,
+                    )
+
+                _, vjp_c = jax.vjp(contrib_f, tbls, rays6)
+                ct_tbls_i, ct_rays_i = vjp_c(ct_carry)
+                ct_tbls = add(ct_tbls, ct_tbls_i)
+                ct_rays = add(ct_rays, ct_rays_i)
+
+        # Spheres: gated chunk loop; per-sphere vjp w.r.t. exactly the
+        # scalars it consumes. Sphere cotangents land in per-key (8, 128)
+        # lane-slot accumulators (sphere i -> row i // 128, lane i % 128),
+        # so the traced-index scatter is 12 cheap selects per sphere.
+        row_io = jax.lax.broadcasted_iota(jnp.int32, (8, _SL_C), 0)
+        lane_io = jax.lax.broadcasted_iota(jnp.int32, (8, _SL_C), 1)
+        zs = jnp.zeros((), jnp.float32)  # strongly-typed: fori carries must
+        zero_ct_lts = jax.tree_util.tree_map(lambda _: zs, lts)
+        zslot = jnp.zeros((8, _SL_C), jnp.float32)
+        state0 = (
+            ct_rays,
+            zero_ct_lts,
+            zs,  # ct tau
+            zs,  # ct tau_z
+            tuple(zslot for _ in _SPH_KEYS),
+        )
+
+        def chunk_body(c, state):
+            def do_chunk(st):
+                ct_r, ct_l, ct_t, ct_tz, slots = st
+                for u in range(_SOFT_CHUNK):
+                    idx = c * _SOFT_CHUNK + u
+                    p = {k: sread(k, idx) for k in _SPH_KEYS}
+
+                    def contrib_f(lts_t, tau_t, tau_z_t, p_t, rays_t):
+                        return _sphere_contrib(
+                            lts_t, tau_t, tau_z_t, p_t, rays_t, t_ref,
+                            is_last=is_last,
+                        )
+
+                    _, vjp_c = jax.vjp(contrib_f, lts, tau, tau_z, p, rays6)
+                    ct_l_i, ct_t_i, ct_tz_i, ct_p_i, ct_r_i = vjp_c(ct_carry)
+                    ct_r = add(ct_r, ct_r_i)
+                    ct_l = add(ct_l, ct_l_i)
+                    ct_t = ct_t + ct_t_i
+                    ct_tz = ct_tz + ct_tz_i
+                    hit = (row_io == idx // _SL_C) & (lane_io == idx % _SL_C)
+                    slots = tuple(
+                        jnp.where(hit, sl + ct_p_i[k], sl)
+                        for sl, k in zip(slots, _SPH_KEYS)
+                    )
+                return ct_r, ct_l, ct_t, ct_tz, slots
+
+            if not _SOFT_TUBE_GATE:
+                return do_chunk(state)
+            reach = _chunk_reachable(gate, c, rays6, geom, tau)
+            return jax.lax.cond(jnp.any(reach), do_chunk, lambda st: st,
+                                state)
+
+        ct_rays, ct_lts, ct_tau, ct_tau_z, slots = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, state0
+        )
+        ct_tbls = _merge_light_tau_cts(ct_tbls, ct_lts, ct_tau, ct_tau_z, cnt)
 
         for ref, v in zip(
             (cox_ref, coy_ref, coz_ref, cdx_ref, cdy_ref, cdz_ref), ct_rays
@@ -475,9 +727,9 @@ def _kernel_soft_level_bwd(keys, sizes, cnt, is_last: bool, ct_rows: int):
             ref[:] = v
         cw_ref[:] = ct_w
 
-        # Pack the per-scalar parameter cotangents (tree-leaf order ==
-        # sorted-key x element order == `_unpack_param_cts`'s order) into
-        # one (ct_rows, 128) per-tile block.
+        # Pack the shared-scalar cotangents (tree-leaf order == sorted-key
+        # x element order == the host unpack's order) into one
+        # (ct_rows, 128) per-tile block.
         leaves = jax.tree_util.tree_leaves(ct_tbls)
         block = jnp.zeros((ct_rows, _SL_C), jnp.float32)
         row = jax.lax.broadcasted_iota(jnp.int32, (ct_rows, _SL_C), 0)
@@ -487,8 +739,10 @@ def _kernel_soft_level_bwd(keys, sizes, cnt, is_last: bool, ct_rows: int):
                 (row == pos // _SL_C) & (lane == pos % _SL_C), v, block
             )
         pct_ref[0, 0] = block
+        for j in range(len(_SPH_KEYS)):
+            sct_ref[0, 0, j * 8:(j + 1) * 8, :] = slots[j]
 
-    return kernel
+    return kernel, sct_rows
 
 
 def _ct_rows(sizes: dict) -> int:
@@ -500,8 +754,8 @@ def _ct_rows(sizes: dict) -> int:
     jax.jit, static_argnames=("keys", "sizes_t", "cnt_t", "is_last", "sl_r",
                               "interpret"),
 )
-def _soft_level(arrs_list, rays, state, *, keys, sizes_t, cnt_t,
-                is_last: bool, sl_r: int, interpret: bool):
+def _soft_level(arrs_list, sph_list, gate_list, rays, state, *, keys,
+                sizes_t, cnt_t, is_last: bool, sl_r: int, interpret: bool):
     sizes, cnt = dict(sizes_t), dict(cnt_t)
     h, w = rays[0].shape
     grid = (h // sl_r, w // _SL_C)
@@ -509,7 +763,7 @@ def _soft_level(arrs_list, rays, state, *, keys, sizes_t, cnt_t,
         (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=len(keys),
+        num_scalar_prefetch=len(keys) + len(_SPH_KEYS) + len(_GATE_KEYS),
         grid=grid,
         in_specs=[spec] * 10,
         out_specs=(spec,) * 10,
@@ -520,20 +774,23 @@ def _soft_level(arrs_list, rays, state, *, keys, sizes_t, cnt_t,
         out_shape=(f32,) * 10,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(*arrs_list, *rays, *state)
+    )(*arrs_list, *sph_list, *gate_list, *rays, *state)
 
 
 @functools.partial(
     jax.jit, static_argnames=("keys", "sizes_t", "cnt_t", "is_last", "sl_r",
                               "interpret"),
 )
-def _soft_level_bwd(arrs_list, level_in, ct_acc, ct_next, *, keys, sizes_t,
-                    cnt_t, is_last: bool, sl_r: int, interpret: bool):
+def _soft_level_bwd(arrs_list, sph_list, gate_list, level_in, ct_acc,
+                    ct_next, *, keys, sizes_t, cnt_t, is_last: bool,
+                    sl_r: int, interpret: bool):
     sizes, cnt = dict(sizes_t), dict(cnt_t)
     h, w = level_in[0].shape
     grid = (h // sl_r, w // _SL_C)
     th, tw = grid
     rows = _ct_rows(sizes)
+    kernel, sct_rows = _kernel_soft_level_bwd(keys, sizes, cnt, is_last,
+                                              rows)
     spec = pl.BlockSpec(
         (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
     )
@@ -541,34 +798,47 @@ def _soft_level_bwd(arrs_list, level_in, ct_acc, ct_next, *, keys, sizes_t,
         (1, 1, rows, _SL_C), lambda i, j, *_: (i, j, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    sct_spec = pl.BlockSpec(
+        (1, 1, sct_rows, _SL_C), lambda i, j, *_: (i, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=len(keys),
+        num_scalar_prefetch=len(keys) + len(_SPH_KEYS) + len(_GATE_KEYS),
         grid=grid,
         in_specs=[spec] * 17,
-        out_specs=(spec,) * 7 + (pct_spec,),
+        out_specs=(spec,) * 7 + (pct_spec, sct_spec),
     )
     f32 = _out_struct((h, w), jnp.float32, level_in[0])
     return pl.pallas_call(
-        _kernel_soft_level_bwd(keys, sizes, cnt, is_last, rows),
+        kernel,
         out_shape=(f32,) * 7
-        + (_out_struct((th, tw, rows, _SL_C), jnp.float32, level_in[0]),),
+        + (_out_struct((th, tw, rows, _SL_C), jnp.float32, level_in[0]),
+           _out_struct((th, tw, sct_rows, _SL_C), jnp.float32,
+                       level_in[0])),
         grid_spec=grid_spec,
         # Mosaic's stack allocator does not reuse buffers across the
         # unrolled per-primitive vjp sequence well; the default 16 MB
-        # scoped-vmem budget overflows at 64 spheres even though the true
-        # live set is one primitive's residuals. Raise the cap (v5e
-        # hardware headroom permitting) rather than shrinking tiles below
-        # the (8, 128) f32 minimum.
+        # scoped-vmem budget overflows even though the true live set is
+        # one primitive's residuals. Raise the cap (v5e hardware headroom
+        # permitting) rather than shrinking tiles below the (8, 128) f32
+        # minimum.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_SOFT_BWD_VMEM_LIMIT
         ),
         interpret=interpret,
-    )(*arrs_list, *level_in, *ct_acc, *ct_next)
+    )(*arrs_list, *sph_list, *gate_list, *level_in, *ct_acc, *ct_next)
 
 
 # ---------------------------------------------------------------------------
 # Whole-trace orchestration + custom VJP
 # ---------------------------------------------------------------------------
+
+
+def _split_keys(arrs: dict):
+    """(shared keys sorted, sphere arrays in _SPH_KEYS order)."""
+    keys_sh = tuple(sorted(k for k in arrs if not k.startswith("s_")))
+    sph_list = [arrs["s_" + k] for k in _SPH_KEYS]
+    return keys_sh, sph_list
 
 
 def _prep_rays(o: V3, d: V3, sl_r: int):
@@ -601,10 +871,11 @@ def _soft_levels_impl(scene: Scene, o: V3, d: V3, tau, tau_z, *, depth: int,
     sl_r = _SOFT_SL_R
     n_s_pad = _n_s_pad(scene)
     arrs = _soft_param_arrays(scene, tau, tau_z, n_s_pad)
-    keys = tuple(sorted(arrs))
+    keys, sph_list = _split_keys(arrs)
     sizes_t = tuple((k, int(arrs[k].shape[0])) for k in keys)
     cnt_t = tuple(sorted(_counts(scene, n_s_pad).items()))
     arrs_list = [arrs[k] for k in keys]
+    gate_list = _soft_gate_arrays(scene, tau, n_s_pad)
 
     rays, w_live, dims = _prep_rays(o, d, sl_r)
     h, w, hp, wp = dims
@@ -617,8 +888,9 @@ def _soft_levels_impl(scene: Scene, o: V3, d: V3, tau, tau_z, *, depth: int,
             rays_levels.append(rays)
             w_levels.append(state[0])
         outs = _soft_level(
-            arrs_list, rays, state, keys=keys, sizes_t=sizes_t, cnt_t=cnt_t,
-            is_last=(k == depth), sl_r=sl_r, interpret=interpret,
+            arrs_list, sph_list, gate_list, rays, state, keys=keys,
+            sizes_t=sizes_t, cnt_t=cnt_t, is_last=(k == depth), sl_r=sl_r,
+            interpret=interpret,
         )
         state = (outs[3], outs[0], outs[1], outs[2])
         rays = tuple(outs[4:10])
@@ -650,11 +922,13 @@ def _soft_levels_bwd_impl(scene: Scene, tau, tau_z, rays_levels, w_levels,
         lambda sc, t1, t2: _soft_param_arrays(sc, t1, t2, n_s_pad),
         scene, tau, tau_z,
     )
-    keys = tuple(sorted(arrs))
+    keys, sph_list = _split_keys(arrs)
     sizes = {k: int(arrs[k].shape[0]) for k in keys}
     sizes_t = tuple(sizes.items())
     cnt_t = tuple(sorted(_counts(scene, n_s_pad).items()))
     arrs_list = [sg(arrs[k]) for k in keys]
+    sph_list = [sg(a) for a in sph_list]
+    gate_list = _soft_gate_arrays(scene, tau, n_s_pad)
 
     hp, wp = rays_levels[0][0].shape
     h, w = ct_acc.x.shape
@@ -670,26 +944,31 @@ def _soft_levels_bwd_impl(scene: Scene, tau, tau_z, rays_levels, w_levels,
     ct_next = (zero,) * 7  # d(next rays6, next w): nothing past the last
     rows = _ct_rows(sizes)
     pct_sum = jnp.zeros((rows * _SL_C,), jnp.float32)
+    sct_sum = jnp.zeros((len(_SPH_KEYS) * 8, _SL_C), jnp.float32)
     for k in reversed(range(depth + 1)):
         level_in = rays_levels[k] + (w_levels[k],)
         outs = _soft_level_bwd(
-            arrs_list, level_in, ct3, ct_next, keys=keys, sizes_t=sizes_t,
-            cnt_t=cnt_t, is_last=(k == depth), sl_r=sl_r,
-            interpret=interpret,
+            arrs_list, sph_list, gate_list, level_in, ct3, ct_next,
+            keys=keys, sizes_t=sizes_t, cnt_t=cnt_t, is_last=(k == depth),
+            sl_r=sl_r, interpret=interpret,
         )
         ct_rays = outs[0:6]
         ct_w = outs[6]
         pct_sum = pct_sum + outs[7].sum(axis=(0, 1)).reshape(-1)
+        sct_sum = sct_sum + outs[8].sum(axis=(0, 1))
         ct_next = ct_rays + (ct_w,)
 
-    # Unpack: flat vector -> per-key arrays (same key x element order the
-    # kernel packed), then transpose through _soft_param_arrays.
+    # Unpack: shared flat vector -> per-key arrays (same key x element
+    # order the kernel packed); sphere lane-slot planes -> per-key arrays;
+    # then transpose through _soft_param_arrays.
     ct_arrs = {}
     pos = 0
     for k in keys:
         n = sizes[k]
         ct_arrs[k] = jax.lax.dynamic_slice_in_dim(pct_sum, pos, n)
         pos += n
+    for j, k in enumerate(_SPH_KEYS):
+        ct_arrs["s_" + k] = sct_sum[j * 8:(j + 1) * 8].reshape(-1)[:n_s_pad]
     scene_ct, ct_tau, ct_tau_z = vjp_arrs(ct_arrs)
 
     def crop(c):
@@ -720,11 +999,11 @@ def soft_trace_pallas(scene, o, d, tau, tau_z, depth):
     """Whole soft trace as per-level Pallas megakernels with a megakernel
     backward — the TPU fast path of diff/soft.py `trace_soft`.
 
-    Forward: one kernel per reflection level (t_ref anchor + streaming
-    depth-softmax composite + expected-surface reflection, all in VMEM).
-    Backward: one kernel per level in reverse, `jax.vjp`-ing the identical
-    level function at the forward's saved rays/throughput; parameter
-    cotangents reduce in-kernel to per-tile scalar blocks.
+    Forward: one kernel per reflection level (t_ref anchor + gated
+    chunk-streamed depth-softmax composite + expected-surface reflection,
+    all in VMEM). Backward: one kernel per level in reverse, `jax.vjp`-ing
+    the identical level function at the forward's saved rays/throughput;
+    parameter cotangents reduce in-kernel to per-tile scalar blocks.
     """
     return _soft_levels_impl(scene, o, d, tau, tau_z, depth=depth)
 

@@ -380,7 +380,7 @@ def test_ray_stats_chunk_reach_matches_xla():
 
     # jnp twin of the kernel's tube test (slab-clipped segment vs chunk
     # bounding sphere), reduced to per-tile any.
-    gx, gy, gz, gg, gr2 = gtables
+    gx, gy, gz, gg, gr2 = gtables[:5]
     dx, dy, dz = rays[3:]
     lo, hi = slab[:3], slab[3:6]
 
