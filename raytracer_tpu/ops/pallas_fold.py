@@ -455,6 +455,14 @@ _TUBE_SHORTLIST = os.environ.get("RT_TUBE_SHORTLIST", "1") != "0"
 # for sparser scene classes.
 _SUB_GATE = os.environ.get("RT_SUB_GATE", "0") != "0"
 _SUB = int(os.environ.get("RT_SUB", "8"))  # sub-chunk gate granularity (spheres)
+# Patch-major bounce layout (A/B knob): re-layout bounce-level rays so one
+# (8, 128) block = one 32x32-PIXEL patch and one (32, 128) kernel tile = 4
+# Morton-adjacent patches (a ~64x64-pixel square) instead of a 32x128-pixel
+# strip. Squarer tiles see a narrower reflected-direction fan, so their
+# reach unions/shortlists tighten. Pure bijection (two static transposes +
+# a constant-index patch permutation per frame) — bit-exact.
+_PATCH_MAJOR = os.environ.get("RT_PATCH_MAJOR", "0") != "0"
+_PATCH = 32  # patch side (pixels); 32*32 = 8*128 = one f32 VMEM block
 
 
 def _check_sl_r(sl_r: int) -> int:
@@ -877,11 +885,17 @@ def _record_math(acc, best_t, hit, is_sphere, is_wall, is_box,
         + (voz - g2) * (voz - g2) - g3 * g3
     )
     det = bq * bq - 4.0 * cq
-    pos = det >= 0.0
+    # STRICT det > 0 (not >=): sqrt'(0) is inf, and miss lanes regather
+    # all-zero attributes which (with the camera at the origin) make det
+    # EXACTLY 0 — reverse mode then forms 0 * inf = NaN on every sky
+    # pixel. XLA's simplifier happens to drop the masked mul(x, 0);
+    # Mosaic does not (caught by tests_tpu/ on the compiled kernel).
+    # det == 0 true-graze hits fall back to the fold's exact t below.
+    pos = det > 0.0
     sq = jnp.sqrt(jnp.where(pos, det, 1.0))
     t_s = jnp.where(pos, 0.5 * (-bq - sq), 1.0)
     # `& pos`: at grazing hits the fold's discriminant (half-b form, its
-    # own FMA fusion) can be >=0 while this full-form recompute's is <0 —
+    # own FMA fusion) can be >=0 while this full-form recompute's is <=0 —
     # selecting the placeholder put the hit point ~t=1 and the resulting
     # non-unit normal (|n| up to ~80) overflowed base^exponent to inf
     # (observed: 15 px on a 1080p grid-64 frame). Fall back to the fold's
@@ -1420,6 +1434,48 @@ def _trace_level(tables, chunk_list, counts, gtables, slab, mats, lights,
       *rays, *state)
 
 
+@functools.lru_cache(maxsize=None)
+def _patch_morton_perm(ph: int, pw: int):
+    """(perm, inv): np.int32 permutations taking row-major patch ids to
+    Z-order over the (ph, pw) patch grid and back. Z-order makes groups
+    of 4 consecutive patches (one kernel tile) mostly 2x2 squares."""
+    import numpy as np
+
+    def morton(r, c):
+        m = 0
+        for b in range(16):
+            m |= ((c >> b) & 1) << (2 * b) | ((r >> b) & 1) << (2 * b + 1)
+        return m
+
+    keys = sorted(
+        (morton(r, c), r * pw + c) for r in range(ph) for c in range(pw)
+    )
+    perm = np.fromiter((i for _, i in keys), dtype=np.int32, count=ph * pw)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(ph * pw, dtype=np.int32)
+    return perm, inv
+
+
+def _to_patch_major(x, ph: int, pw: int, perm, n_pad: int):
+    """[ph*32, pw*32] plane -> [(ph*pw + n_pad) * 8, 128] patch-major."""
+    p = x.reshape(ph, _PATCH, pw, _PATCH).transpose(0, 2, 1, 3)
+    p = p.reshape(ph * pw, _PATCH * _PATCH)
+    p = jnp.take(p, perm, axis=0)
+    if n_pad:
+        p = jnp.concatenate(
+            [p, jnp.zeros((n_pad, _PATCH * _PATCH), x.dtype)]
+        )
+    return p.reshape(-1, _SL_C)
+
+
+def _from_patch_major(x, ph: int, pw: int, inv, n_pad: int):
+    """Inverse of `_to_patch_major` (pads stripped)."""
+    p = x.reshape(-1, _PATCH * _PATCH)[: ph * pw]
+    p = jnp.take(p, inv, axis=0)
+    p = p.reshape(ph, pw, _PATCH, _PATCH).transpose(0, 2, 1, 3)
+    return p.reshape(ph * _PATCH, pw * _PATCH)
+
+
 def _light_sky_tables(scene: Scene):
     """Light + sky scalar tables (pre-unit sun directions, shade_soa parity).
 
@@ -1523,21 +1579,45 @@ def _trace_levels_pallas_impl(
             scene, n_chunks
         )
 
+    # Patch-major bounce layout (see `_PATCH_MAJOR`): bounce levels run on
+    # re-layouted planes where each kernel tile is a ~64x64-pixel square.
+    # Forward-only for now: the backward consumes the forward's saved
+    # per-tile shortlists, which would need the same relayout plumbing.
+    pm = (
+        _PATCH_MAJOR and not with_residuals and depth > 0 and n_chunks > 1
+        and hp % _PATCH == 0 and wp % _PATCH == 0 and sl_rb == _PATCH
+        and _SLICES == 1
+    )
+    if pm:
+        ph_p, pw_p = hp // _PATCH, wp // _PATCH
+        pm_pad = (-(ph_p * pw_p)) % 4
+        pm_perm, pm_inv = _patch_morton_perm(ph_p, pw_p)
+
+        def to_pm(x):
+            return _to_patch_major(x, ph_p, pw_p, pm_perm, pm_pad)
+
+        def from_pm(x):
+            return _from_patch_major(x, ph_p, pw_p, pm_inv, pm_pad)
+
     ts, idxs = [], []
     rays_levels, w_levels, sl_levels = [], [], []  # per-level residuals
     prev_stats = None
     for k in range(depth + 1):
         sl_k = sl_r if k == 0 else sl_rb
-        th_k = hp // sl_k
+        if pm and k == 1:
+            rays = tuple(to_pm(c) for c in rays)
+            state = tuple(to_pm(c) for c in state)
+        th_k = rays[0].shape[0] // sl_k
+        tw_k = rays[0].shape[1] // _SL_C
         if with_residuals:
             rays_levels.append(rays)
             w_levels.append(state[0])
         if n_chunks == 0:
             act = state[0] > 0.0
-            alive = _slice_reduce(act, th_k, tw, jnp.any, sl_k)
+            alive = _slice_reduce(act, th_k, tw_k, jnp.any, sl_k)
             counts = jnp.where(alive, 0, -1).astype(jnp.int32).reshape(-1)
             n_chunks_eff = 1
-            chunk_list = jnp.zeros((th_k * tw * _SLICES,), jnp.int32)
+            chunk_list = jnp.zeros((th_k * tw_k * _SLICES,), jnp.int32)
             gtables = (
                 tuple(jnp.zeros((1,), jnp.float32) for _ in range(4))
                 + (jnp.full((1,), -1.0, jnp.float32),)
@@ -1545,7 +1625,9 @@ def _trace_levels_pallas_impl(
                 + (jnp.full((1,), -1.0, jnp.float32),)
             )
             slab = jnp.zeros((8,), jnp.float32)
-        elif k > 0 and _PHASE_A_BOUNCE and sl_rb == sl_r:
+        elif k > 0 and _PHASE_A_BOUNCE and (
+            sl_rb == sl_r if not pm else k >= 2
+        ):
             # Bounce shortlists from the PREVIOUS kernel's tile stats — the
             # per-ray half of phase A already ran in VMEM; XLA only does the
             # [tiles x chunks] overlap test + near-to-far sort. Only valid
@@ -1566,7 +1648,7 @@ def _trace_levels_pallas_impl(
         else:
             act = state[0] > 0.0
             chunk_list, counts, gtables, slab = _shortlist_phase_a(
-                scene, rays, act, th_k, tw, n_chunks, sl_k,
+                scene, rays, act, th_k, tw_k, n_chunks, sl_k,
                 per_tile=(k == 0) or _PHASE_A_BOUNCE,
                 interpret=interpret,
             )
@@ -1579,12 +1661,12 @@ def _trace_levels_pallas_impl(
             n_w=counts_tbl["n_w_pad"], n_b=counts_tbl["n_b_pad"],
             wall_base=counts_tbl["n_s"],
             box_base=counts_tbl["n_s"] + counts_tbl["n_w"],
-            tiles_w=tw, n_chunks=n_chunks_eff, n_s_pad=n_s_pad,
+            tiles_w=tw_k, n_chunks=n_chunks_eff, n_s_pad=n_s_pad,
             n_w_pad=n_w_pad, n_pt=n_pt, n_sun=n_sun,
             is_last=(k == depth), sl_r=sl_k,
             emit_stats=(
-                (k < depth) and _PHASE_A_BOUNCE and sl_rb == sl_r
-                and n_chunks > 0
+                (k < depth) and _PHASE_A_BOUNCE and n_chunks > 0
+                and (sl_rb == sl_r if not pm else k >= 1)
             ),
             interpret=interpret,
         )
@@ -1596,10 +1678,14 @@ def _trace_levels_pallas_impl(
             ts.append(t_k)  # backward kernels consume the PADDED planes
             idxs.append(i_k)
         else:
+            if pm and k >= 1:
+                t_k, i_k = from_pm(t_k), from_pm(i_k)
             ts.append(t_k[:h, :w] if (hp != h or wp != w) else t_k)
             idxs.append(i_k[:h, :w] if (hp != h or wp != w) else i_k)
 
     _, ar, ag, ab = state
+    if pm and depth > 0:
+        ar, ag, ab = from_pm(ar), from_pm(ag), from_pm(ab)
     if hp != h or wp != w:
         ar, ag, ab = ar[:h, :w], ag[:h, :w], ab[:h, :w]
     if with_residuals:

@@ -381,7 +381,11 @@ def _winner_t(
         b = 2.0 * d.dot(oc)
         cc = oc.norm2() - r * r
         det = b * b - 4.0 * cc
-        pos = det >= 0.0
+        # STRICT > 0: miss lanes gather all-zero attributes, making det
+        # exactly 0 with the camera at the origin; sqrt'(0) = inf then
+        # meets a zero cotangent (0 * inf = NaN) in reverse mode. Mirrors
+        # pallas_fold._record_math (VJP pairing).
+        pos = det > 0.0
         sq = jnp.sqrt(jnp.where(pos, det, 1.0))
         t_s = jnp.where(pos, 0.5 * (-b - sq), 1.0)
         # `& pos`: at grazing hits the fold's discriminant (different FMA
@@ -736,7 +740,7 @@ def _mm_hit(
         bq = 2.0 * d.dot(oc)
         cq = oc.norm2() - r * r
         det = bq * bq - 4.0 * cq
-        pos = det >= 0.0
+        pos = det > 0.0  # strict: see _winner_t (0 * inf NaN at det == 0)
         sq = jnp.sqrt(jnp.where(pos, det, 1.0))
         t_s = jnp.where(pos, 0.5 * (-bq - sq), 1.0)
         # `& pos`: see _winner_t — fold/recompute FMA disagreement at

@@ -1,0 +1,155 @@
+"""Compiled (interpret=False) kernel parity on the real TPU.
+
+Small shapes keep each compile ~10-40 s; assertions mirror the CPU
+suite's (tests/test_pallas_fold.py, tests/test_pallas_soft.py) but
+against Mosaic-compiled kernels — the class of regression bench.py would
+otherwise be the only thing to catch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer_tpu.models.scenes import (
+    grid_sphere_scene,
+    mixed_primitive_scene,
+    reference_demo_camera,
+)
+from raytracer_tpu.ops.trace import raygen_tile
+
+W, H = 256, 128  # small: compile-bound lane, keep it quick
+
+
+@pytest.fixture(scope="module")
+def rays():
+    return raygen_tile(reference_demo_camera(), W, H)
+
+
+def test_compiled_hard_fold_matches_jnp(rays):
+    """Shortlist megakernel fold == brute-force jnp fold (t AND index):
+    the culling invariant (conservative discards + index tie-break) holds
+    under Mosaic compilation, not just interpret mode."""
+    from raytracer_tpu.ops.pallas_fold import fold_closest_pallas_shortlist
+    from raytracer_tpu.ops.trace import fold_closest_jnp
+
+    o, d = rays
+    for scene in (grid_sphere_scene(64), mixed_primitive_scene()):
+        bt, bi = jax.jit(
+            lambda s, oo, dd: fold_closest_pallas_shortlist(
+                s, oo, dd, interpret=False
+            )
+        )(scene, o, d)
+        wt, wi = jax.jit(fold_closest_jnp)(scene, o, d)
+        np.testing.assert_allclose(
+            np.asarray(bt), np.asarray(wt), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(bi), np.asarray(wi))
+
+
+def test_compiled_trace_forward_matches_xla(rays):
+    """Whole-trace megakernel forward == XLA per-level pipeline."""
+    from raytracer_tpu.render.integrator import render
+
+    scene = grid_sphere_scene(64)
+    cam = reference_demo_camera()
+    img_k = np.asarray(render(scene, cam, W, H, depth=2, fold="pallas"))
+    img_x = np.asarray(render(scene, cam, W, H, depth=2, fold="jnp"))
+    np.testing.assert_allclose(img_k, img_x, rtol=2e-4, atol=2e-4)
+
+
+def test_compiled_trace_backward_matches_xla(rays):
+    """Hard-path training gradients through the compiled backward trace
+    megakernel == the jnp path's (same selections, same `_level_math`)."""
+    from raytracer_tpu.render.integrator import render
+
+    scene = grid_sphere_scene(64)
+    cam = reference_demo_camera()
+    tgt = jnp.zeros((H, W, 3), jnp.float32)
+
+    def loss(c, fold):
+        sc = scene.replace(spheres=scene.spheres.replace(center=c))
+        img = render(sc, cam, W, H, depth=2, fold=fold)
+        return jnp.mean((img - tgt) ** 2)
+
+    c0 = scene.spheres.center
+    gk = np.asarray(jax.grad(lambda c: loss(c, "pallas"))(c0))
+    gx = np.asarray(jax.grad(lambda c: loss(c, "jnp"))(c0))
+    assert np.isfinite(gk).all()
+    # Same bar as tests/test_pallas_fold.py's backward parity: the two
+    # paths gather winner attributes differently (in-kernel scatter vs
+    # one-hot matmul), so per-element f32 reassociation is expected.
+    np.testing.assert_allclose(gk, gx, atol=1e-2 * np.abs(gx).max())
+
+
+def test_compiled_soft_forward_and_grads(rays):
+    """Soft megakernels (compiled): forward == XLA soft compositor;
+    color gradients tight; geometry gradients kink-robust (cosine/L2 —
+    the anchored depth softmax's subgradient ambiguity flips sides
+    between evaluation engines; see tests/test_pallas_soft.py)."""
+    from raytracer_tpu.diff.soft import trace_soft
+    from raytracer_tpu.ops import pallas_soft as ps
+
+    scene = grid_sphere_scene(8, distance=4.0)
+    o, d = rays
+    TAU, TAU_Z = jnp.float32(0.02), jnp.float32(0.05)
+
+    got = np.asarray(
+        ps.soft_trace_pallas(scene, o, d, TAU, TAU_Z, 1).stacked()
+    )
+    want = np.asarray(
+        trace_soft(
+            scene.replace(), o, d, tau=float(TAU), tau_z=float(TAU_Z),
+            depth=1,
+        ).stacked()
+        if not ps.soft_pallas_supported(scene)
+        else _xla_soft(scene, o, d, float(TAU), float(TAU_Z))
+    )
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-4)
+
+    tgt = jnp.zeros((H, W, 3), jnp.float32)
+
+    def loss_k(c):
+        sc = scene.replace(spheres=scene.spheres.replace(center=c))
+        img = ps.soft_trace_pallas(sc, o, d, TAU, TAU_Z, 1)
+        return jnp.mean((img.stacked() - tgt) ** 2)
+
+    def loss_x(c):
+        sc = scene.replace(spheres=scene.spheres.replace(center=c))
+        return jnp.mean((_xla_soft_j(sc, o, d, TAU, TAU_Z) - tgt) ** 2)
+
+    gk = np.asarray(jax.grad(loss_k)(scene.spheres.center)).ravel()
+    gx = np.asarray(jax.grad(loss_x)(scene.spheres.center)).ravel()
+    assert np.isfinite(gk).all()
+    cos = float((gk * gx).sum() / (np.linalg.norm(gk) * np.linalg.norm(gx)))
+    assert cos > 0.99, cos
+    assert np.linalg.norm(gk - gx) <= 0.15 * np.linalg.norm(gx)
+
+
+def _xla_soft(scene, o, d, tau, tau_z):
+    """trace_soft forced onto the XLA path (kernel auto-select disabled)."""
+    from raytracer_tpu.diff.soft import trace_soft
+    from raytracer_tpu.ops import pallas_soft as ps
+
+    prev = ps._SOFT_PALLAS
+    ps._SOFT_PALLAS = False
+    try:
+        return np.asarray(
+            trace_soft(scene, o, d, tau=tau, tau_z=tau_z, depth=1).stacked()
+        )
+    finally:
+        ps._SOFT_PALLAS = prev
+
+
+def _xla_soft_j(scene, o, d, tau, tau_z):
+    from raytracer_tpu.diff.soft import trace_soft
+    from raytracer_tpu.ops import pallas_soft as ps
+
+    prev = ps._SOFT_PALLAS
+    ps._SOFT_PALLAS = False
+    try:
+        return trace_soft(
+            scene, o, d, tau=float(tau), tau_z=float(tau_z), depth=1
+        ).stacked()
+    finally:
+        ps._SOFT_PALLAS = prev
