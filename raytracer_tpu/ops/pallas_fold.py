@@ -488,6 +488,7 @@ def _shortlist_fold_core(
     sm: dict, t: jnp.ndarray,
     vox, voy, voz, vdx, vdy, vdz, oo, do, amask,
     n_w: int, n_b: int, wall_base: int, box_base: int, n_chunks: int,
+    counts_val=None,
 ):
     """The shortlist fold: (best_t, best_i, t0, t_ex, seg_ok, alive).
 
@@ -506,9 +507,15 @@ def _shortlist_fold_core(
     sgx, sgy, sgz = sm["sgx"], sm["sgy"], sm["sgz"]
     sgg, sgr2 = sm["sgg"], sm["sgr2"]
     n_sub = _UNROLL // _SUB if _UNROLL > _SUB else 1
-    alive = counts[t * _SLICES] >= 0
-    for s_i in range(1, _SLICES):
-        alive = alive | (counts[t * _SLICES + s_i] >= 0)
+    # counts_val (traced i32): in-kernel override for fused whole-trace
+    # calls — the shortlist is the identity (chunk k = k) and liveness is
+    # computed from the level's in-VMEM throughput, not phase A.
+    if counts_val is not None:
+        alive = counts_val >= 0
+    else:
+        alive = counts[t * _SLICES] >= 0
+        for s_i in range(1, _SLICES):
+            alive = alive | (counts[t * _SLICES + s_i] >= 0)
     rows, cols = vox.shape
 
     # Per-ray slab clip (same intervals as phase A): any sphere hit lies
@@ -609,7 +616,7 @@ def _shortlist_fold_core(
 
     def make_group(g):
         sl = slice(g * rows_g, (g + 1) * rows_g)
-        n_g = counts[t * _SLICES + g]
+        n_g = counts_val if counts_val is not None else counts[t * _SLICES + g]
         list_base = (t * _SLICES + g) * n_chunks
         ox_s, oy_s, oz_s = vox[sl], voy[sl], voz[sl]
         dx_s, dy_s, dz_s = vdx[sl], vdy[sl], vdz[sl]
@@ -646,7 +653,7 @@ def _shortlist_fold_core(
 
         def chunk_body(k, carry):
             bt, bi = carry
-            c = chunk_list[list_base + k]
+            c = k if counts_val is not None else chunk_list[list_base + k]
             base = c * _UNROLL
 
             def do_chunk(cr):
@@ -764,7 +771,7 @@ def _winner_record_core(
 def _regather_core(
     sm: dict, t_id, best_t, best_i, alive,
     *, n_w: int, n_b: int, wall_base: int, box_base: int, n_chunks: int,
-    n_s_pad: int, n_w_pad: int,
+    n_s_pad: int, n_w_pad: int, counts_val=None,
 ):
     """Winner attribute regather, shared by the hit and trace kernels.
 
@@ -807,7 +814,7 @@ def _regather_core(
         list_base = (t_id * _SLICES + s_i) * n_chunks
 
         def regather_chunk(k, acc):
-            c = chunk_list[list_base + k]
+            c = k if counts_val is not None else chunk_list[list_base + k]
             base = c * _UNROLL
             in_chunk = (
                 is_sphere_s & (best_i_s >= base) & (best_i_s < base + _UNROLL)
@@ -829,7 +836,9 @@ def _regather_core(
         return regather_chunk
 
     for s_i in range(_SLICES):
-        n_s = counts[t_id * _SLICES + s_i]
+        n_s = counts_val if counts_val is not None else (
+            counts[t_id * _SLICES + s_i]
+        )
         acc = jax.lax.fori_loop(
             0, jnp.maximum(n_s, 0), make_regather(s_i), acc
         )
@@ -1434,6 +1443,145 @@ def _trace_level(tables, chunk_list, counts, gtables, slab, mats, lights,
       *rays, *state)
 
 
+# Fused whole-trace kernel: for scenes small enough that per-tile
+# shortlists cannot pay (<= this many chunks), trace EVERY reflection
+# level inside one kernel — rays/throughput/accumulator never leave VMEM
+# between levels (the per-level chain writes+rereads ~22 [H,W] planes per
+# boundary), and tiles whose lanes all died (sky) cond-skip whole levels
+# INCLUDING the shading/reflection math the per-level kernels always
+# executed. Measured (v5e, 2026-08-20): demo 1080p d3 4.14 -> 3.34 ms,
+# grid-64 1080p d3 11.85 -> 9.39 ms. Depth-capped: at d10 the fused
+# form's 11 dependent cond-wrapped levels per tile LOSE to the
+# DMA-pipelined per-level chain (640x640 d10: 4.19 vs 3.59 ms).
+_FUSED_MAX_CHUNKS = int(os.environ.get("RT_FUSED_MAX_CHUNKS", "4"))
+_FUSED_MAX_DEPTH = int(os.environ.get("RT_FUSED_MAX_DEPTH", "4"))
+
+
+def _kernel_trace_whole(n_w: int, n_b: int, wall_base: int, box_base: int,
+                        n_chunks: int, n_s_pad: int, n_w_pad: int,
+                        n_pt: int, n_sun: int, depth: int):
+    def kernel(
+        cx, cy, cz, cr2,
+        nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz, px, py, pz, ln, wd,
+        bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
+        gx, gy, gz, gg, gr2, sgx, sgy, sgz, sgg, sgr2, slab,
+        srad, mcr, mcg, mcb, mam, mmt, mdf, msp, mex,
+        lpx, lpy, lpz, lcr, lcg, lcb,
+        sdx, sdy, sdz, scr, scg, scb,
+        sky,
+        ox, oy, oz, dx, dy, dz, amask,
+        *out_refs,  # ar, ag, ab, then (t_ref, i_ref) per level
+    ):
+        sm = _sm_dict(
+            cx, cy, cz, cr2, nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz,
+            px, py, pz, ln, wd, bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
+            None, None,  # chunk_list/counts unused under counts_val
+            gx, gy, gz, gg, gr2, sgx, sgy, sgz, sgg, sgr2, slab,
+        )
+        sm.update(srad=srad, mcr=mcr, mcg=mcg, mcb=mcb, mam=mam, mmt=mmt,
+                  mdf=mdf, msp=msp, mex=mex)
+        pt_lights = tuple(
+            (lpx[li], lpy[li], lpz[li], lcr[li], lcg[li], lcb[li])
+            for li in range(n_pt)
+        )
+        sun_lights = tuple(
+            (sdx[si], sdy[si], sdz[si], scr[si], scg[si], scb[si])
+            for si in range(n_sun)
+        )
+        sky_s = tuple(sky[i] for i in range(10))
+
+        rays6 = (ox[:], oy[:], oz[:], dx[:], dy[:], dz[:])
+        w = amask[:]
+        zero = jnp.zeros_like(w)
+        acc3 = (zero, zero, zero)
+        miss_t = jnp.full_like(w, MISS_T)
+        miss_i = jnp.full_like(w, -1.0).astype(jnp.int32)
+
+        for k in range(depth + 1):
+            is_last = k == depth
+
+            def run_level(op, is_last=is_last):
+                rays6, w, acc3 = op
+                vox, voy, voz, vdx, vdy, vdz = rays6
+                oo = vox * vox + voy * voy + voz * voz
+                do = vdx * vox + vdy * voy + vdz * voz
+                cval = jnp.int32(n_chunks)
+                best_t, best_i, *_ = _shortlist_fold_core(
+                    sm, 0, vox, voy, voz, vdx, vdy, vdz, oo, do, w,
+                    n_w, n_b, wall_base, box_base, n_chunks,
+                    counts_val=cval,
+                )
+                acc, hit, is_sphere, is_wall, is_box = _regather_core(
+                    sm, 0, best_t, best_i, cval >= 0,
+                    n_w=n_w, n_b=n_b, wall_base=wall_base,
+                    box_base=box_base, n_chunks=n_chunks, n_s_pad=n_s_pad,
+                    n_w_pad=n_w_pad, counts_val=cval,
+                )
+                (t_out, ar_i, ag_i, ab_i, w_next,
+                 nox, noy, noz, ndx, ndy, ndz) = _level_math(
+                    acc, rays6, w, best_t, hit, is_sphere, is_wall, is_box,
+                    pt_lights, sun_lights, sky_s,
+                    n_w=n_w, n_b=n_b, is_last=is_last,
+                )
+                ar, ag, ab = acc3
+                return (
+                    (nox, noy, noz, ndx, ndy, ndz), w_next,
+                    (ar + ar_i, ag + ag_i, ab + ab_i), t_out, best_i,
+                )
+
+            def skip_level(op):
+                rays6, w, acc3 = op
+                # Identical to a dead tile through the per-level path: no
+                # hits (t = fold MISS, i = -1), zero acc increment, rays
+                # pass through, throughput stays dead.
+                return rays6, w, acc3, miss_t, miss_i
+
+            rays6, w, acc3, t_k, i_k = jax.lax.cond(
+                jnp.any(w > 0.0), run_level, skip_level, (rays6, w, acc3)
+            )
+            out_refs[3 + 2 * k][:] = t_k
+            out_refs[4 + 2 * k][:] = i_k
+
+        out_refs[0][:] = acc3[0]
+        out_refs[1][:] = acc3[1]
+        out_refs[2][:] = acc3[2]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_w", "n_b", "wall_base", "box_base", "n_chunks",
+                     "n_s_pad", "n_w_pad", "n_pt", "n_sun", "depth", "sl_r",
+                     "interpret"),
+)
+def _trace_whole(tables, gtables, slab, mats, lights, sky, rays, *,
+                 n_w: int, n_b: int, wall_base: int, box_base: int,
+                 n_chunks: int, n_s_pad: int, n_w_pad: int, n_pt: int,
+                 n_sun: int, depth: int, sl_r: int, interpret: bool):
+    h, w = rays[0].shape
+    grid = (h // sl_r, w // _SL_C)
+    spec = pl.BlockSpec(
+        (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+    )
+    n_out = 3 + 2 * (depth + 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=25 + 11 + 9 + 13,
+        grid=grid,
+        in_specs=[spec] * 7,
+        out_specs=(spec,) * n_out,
+    )
+    f32 = _out_struct((h, w), jnp.float32, rays[0])
+    i32 = _out_struct((h, w), jnp.int32, rays[0])
+    return pl.pallas_call(
+        _kernel_trace_whole(n_w, n_b, wall_base, box_base, n_chunks,
+                            n_s_pad, n_w_pad, n_pt, n_sun, depth),
+        out_shape=(f32, f32, f32) + (f32, i32) * (depth + 1),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*tables, *gtables, slab, *mats, *lights, sky, *rays)
+
+
 @functools.lru_cache(maxsize=None)
 def _patch_morton_perm(ph: int, pw: int):
     """(perm, inv): np.int32 permutations taking row-major patch ids to
@@ -1598,6 +1746,31 @@ def _trace_levels_pallas_impl(
 
         def from_pm(x):
             return _from_patch_major(x, ph_p, pw_p, pm_inv, pm_pad)
+
+    # Fused whole-trace kernel for identity-shortlist scenes (see
+    # _FUSED_MAX_CHUNKS): every level in one kernel, zero inter-level HBM.
+    if (
+        not with_residuals and 1 <= depth <= _FUSED_MAX_DEPTH
+        and _SLICES == 1 and not pm and 0 < n_chunks <= _FUSED_MAX_CHUNKS
+    ):
+        outs = _trace_whole(
+            tables, gtables_s, slab_s, (srad,) + mats, light_tbls, sky_tbl,
+            rays + (w_live,),
+            n_w=counts_tbl["n_w_pad"], n_b=counts_tbl["n_b_pad"],
+            wall_base=counts_tbl["n_s"],
+            box_base=counts_tbl["n_s"] + counts_tbl["n_w"],
+            n_chunks=n_chunks, n_s_pad=n_s_pad, n_w_pad=n_w_pad,
+            n_pt=n_pt, n_sun=n_sun, depth=depth, sl_r=sl_r,
+            interpret=interpret,
+        )
+
+        def crop(x):
+            return x[:h, :w] if (hp != h or wp != w) else x
+
+        ar, ag, ab = (crop(c) for c in outs[0:3])
+        ts = [crop(outs[3 + 2 * k]) for k in range(depth + 1)]
+        idxs = [crop(outs[4 + 2 * k]) for k in range(depth + 1)]
+        return V3(ar, ag, ab), ts, idxs
 
     ts, idxs = [], []
     rays_levels, w_levels, sl_levels = [], [], []  # per-level residuals
