@@ -129,6 +129,10 @@ def main() -> None:
     # iters=10/6: the demo forward chain is ~4 ms/frame, so 3-iter chains
     # sit at the relay's noise floor and the fwd/fwdbwd DIFFERENCE can
     # round to 0 (BENCH_r03 chains showed 0.0); longer chains amortize it.
+    # NOTE (r4): the pure-forward render now takes the FUSED whole-trace
+    # kernel while the training forward keeps the per-level residual chain,
+    # so t_bwd = t_both - t_fwd includes that engine gap — the reported
+    # ratio OVERSTATES the true backward cost (conservative direction).
     extra(
         "bwd_fwd_ratio",  # flagship: 3-prim demo, custom-VJP take backward
         lambda: benchmark_forward_backward(
@@ -142,6 +146,12 @@ def main() -> None:
             grid64, camera, WIDTH, HEIGHT, depth=DEPTH, iters=12
         )["bwd_fwd_ratio"],
         chains=5,  # BENCH_r03 spread was 30% at 6-iter/3-chain (VERDICT r3)
+    )
+    extra(
+        "frame_ms_grid64_1080p_d3",  # midsize fused-kernel artifact (r4)
+        lambda: benchmark_render(
+            grid64, camera, WIDTH, HEIGHT, depth=DEPTH, iters=10
+        )["frame_ms"],
     )
     grid1024 = scenes.grid_sphere_scene(1024)
     extra(
@@ -160,6 +170,12 @@ def main() -> None:
         "fit_step_ms_c4",  # BASELINE config 4: soft fit step, 1080p/64 sph
         lambda: benchmark_fit_step(
             grid64, camera, WIDTH, HEIGHT, depth=1, soft=True, iters=3
+        )["step_ms"],
+    )
+    extra(
+        "fit_step_ms_soft_1024sphere",  # r4: c5-scale fits on the kernel path
+        lambda: benchmark_fit_step(
+            grid1024, camera, WIDTH, HEIGHT, depth=1, soft=True, iters=2
         )["step_ms"],
     )
 

@@ -82,6 +82,35 @@ def test_compiled_trace_backward_matches_xla(rays):
     np.testing.assert_allclose(gk, gx, atol=1e-2 * np.abs(gx).max())
 
 
+def test_compiled_camera_gradients_finite_and_match(rays):
+    """Camera gradients flow through the backward kernels' RAY cotangents
+    (ct_o/ct_d -> raygen transpose) — the channel the round-4 miss-lane
+    0*inf NaN poisoned. XLA's simplifier hid the NaN on the jnp path;
+    this pins the compiled kernel path at the same values."""
+    from raytracer_tpu.models.scenes import reference_demo_camera
+    from raytracer_tpu.render.integrator import render
+
+    scene = grid_sphere_scene(16)
+    cam = reference_demo_camera()
+    tgt = jnp.zeros((H, W, 3), jnp.float32)
+
+    def loss(vfov, pos, fold):
+        c = cam.replace(vfov=vfov, position=pos)
+        img = render(scene, c, W, H, depth=1, fold=fold)
+        return jnp.mean((img - tgt) ** 2)
+
+    args = (cam.vfov, cam.position)
+    gk = jax.grad(lambda v, p: loss(v, p, "pallas"), argnums=(0, 1))(*args)
+    gx = jax.grad(lambda v, p: loss(v, p, "jnp"), argnums=(0, 1))(*args)
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(gx)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all()
+        np.testing.assert_allclose(
+            a, b, atol=1e-2 * max(np.abs(b).max(), 1e-10)
+        )
+
+
 def test_compiled_soft_forward_and_grads(rays):
     """Soft megakernels (compiled): forward == XLA soft compositor;
     color gradients tight; geometry gradients kink-robust (cosine/L2 —
