@@ -455,6 +455,17 @@ _TUBE_SHORTLIST = os.environ.get("RT_TUBE_SHORTLIST", "1") != "0"
 # for sparser scene classes.
 _SUB_GATE = os.environ.get("RT_SUB_GATE", "0") != "0"
 _SUB = int(os.environ.get("RT_SUB", "8"))  # sub-chunk gate granularity (spheres)
+# Per-row-group gated folds (A/B knob; see the block in
+# _shortlist_fold_core). Measured a LOSS on grid-1024 1080p d3 (52.9 ->
+# 67.7 ms, v5e 2026-08-20): 4x the cond/gate machinery swamps whatever
+# group-level chunk skips exist. Fifth and final structural attempt at
+# the per-lane/tile fold gap (sub-chunk gates, finer tiles, finer
+# chunks, patch-major regrouping, row groups) — every granularity
+# refinement of the (4096-ray, 32-sphere) fold unit loses on this
+# hardware; the tile-level shortlists + tube gates already sit at the
+# VPU's preferred op shape.
+_GROUP_FOLD = os.environ.get("RT_GROUP_FOLD", "0") != "0"
+_GROUP_ROWS = int(os.environ.get("RT_GROUP_ROWS", "8"))
 # Patch-major bounce layout (A/B knob): re-layout bounce-level rays so one
 # (8, 128) block = one 32x32-PIXEL patch and one (32, 128) kernel tile = 4
 # Morton-adjacent patches (a ~64x64-pixel square) instead of a 32x128-pixel
@@ -607,6 +618,84 @@ def _shortlist_fold_core(
             0, jnp.where(alive, n_b // _UNROLL, 0), box_chunk,
             (best_t, best_i),
         )
+
+    # RT_GROUP_FOLD (A/B): ONE tile-level shortlist, but the fold of each
+    # listed chunk runs per (8, 128) row GROUP with its own best-t tube
+    # gate + cond — rows of a divergent bounce tile fan vertically, so a
+    # group can skip chunks only other rows reach. Unlike the _SLICES
+    # experiment (a measured loss), phase A is untouched: no extra lists,
+    # no extra sorts, one fori loop.
+    if (
+        _GROUP_FOLD and _TUBE_GATE and _SLICES == 1
+        and rows % _GROUP_ROWS == 0 and rows > _GROUP_ROWS
+    ):
+        n_g = counts_val if counts_val is not None else counts[t]
+        list_base = t * n_chunks
+        n_grp = rows // _GROUP_ROWS
+
+        def mk_fold(q):
+            slq = slice(q * _GROUP_ROWS, (q + 1) * _GROUP_ROWS)
+            oxq, oyq, ozq = vox[slq], voy[slq], voz[slq]
+            dxq, dyq, dzq = vdx[slq], vdy[slq], vdz[slq]
+            ooq, doq = oo[slq], do[slq]
+            t0q, texq, okq = t0[slq], t_ex[slq], seg_ok[slq]
+
+            def sphere_one(idx, carry):
+                bt, bi = carry
+                s = dxq * cx[idx] + dyq * cy[idx] + dzq * cz[idx]
+                m = oxq * cx[idx] + oyq * cy[idx] + ozq * cz[idx]
+                b_half = doq - s
+                c_full = ooq - 2.0 * m + cr2[idx]
+                disc = b_half * b_half - c_full
+                tt = -b_half - jnp.sqrt(jnp.maximum(disc, 0.0))
+                win = (disc >= 0.0) & (tt > 0.0) & (
+                    (tt < bt) | ((tt == bt) & (idx < bi))
+                )
+                return jnp.where(win, tt, bt), jnp.where(win, idx, bi)
+
+            def reach(c, bt_c):
+                s_g = dxq * gx[c] + dyq * gy[c] + dzq * gz[c]
+                m_g = oxq * gx[c] + oyq * gy[c] + ozq * gz[c]
+                t1 = jnp.minimum(texq, bt_c)
+                tc = jnp.clip(s_g - doq, t0q, t1)
+                dist2 = (
+                    ooq - 2.0 * m_g + gg[c] + tc * (2.0 * (doq - s_g) + tc)
+                )
+                return okq & (t1 >= t0q) & (dist2 <= gr2[c])
+
+            def fold_chunk(base, cr):
+                for u in range(_UNROLL):
+                    cr = sphere_one(base + u, cr)
+                return cr
+
+            return reach, fold_chunk
+
+        grp_ops = [mk_fold(q) for q in range(n_grp)]
+
+        def chunk_body(k, carry):
+            c = k if counts_val is not None else chunk_list[list_base + k]
+            base = c * _UNROLL
+            out = []
+            for q in range(n_grp):
+                reach, fold_chunk = grp_ops[q]
+                cr = carry[q]
+                cr = jax.lax.cond(
+                    jnp.any(reach(c, cr[0])),
+                    lambda cr_, b=base, f=fold_chunk: f(b, cr_),
+                    lambda cr_: cr_, cr,
+                )
+                out.append(cr)
+            return tuple(out)
+
+        init = tuple(
+            (best_t[q * _GROUP_ROWS:(q + 1) * _GROUP_ROWS],
+             best_i[q * _GROUP_ROWS:(q + 1) * _GROUP_ROWS])
+            for q in range(n_grp)
+        )
+        parts = jax.lax.fori_loop(0, jnp.maximum(n_g, 0), chunk_body, init)
+        best_t = jnp.concatenate([p[0] for p in parts], axis=0)
+        best_i = jnp.concatenate([p[1] for p in parts], axis=0)
+        return best_t, best_i, t0, t_ex, seg_ok, alive
 
     # Sphere-chunk traversal per row SLICE: divergent bounce tiles rarely
     # agree on chunks across the whole (64,128) tile, so each

@@ -63,7 +63,9 @@ from raytracer_tpu.ops.trace import _REFLECT_EPS, _wall_tables
 
 __all__ = ["soft_trace_pallas", "soft_pallas_supported"]
 
-# Forward row-tile height.
+# Forward row-tile height. 32/32 fwd/bwd sweep vs 64/64 (v5e 2026-08-20):
+# c4 41.2 vs 39.8 ms but 1024-sphere 642 vs 697 — taller tiles loosen the
+# chunk gates faster than they amortize loop overhead at scale; keep 32.
 _SOFT_SL_R = int(os.environ.get("RT_SOFT_SL_R", "32"))
 # Backward row-tile height. The streaming per-sphere vjp keeps only ONE
 # sphere's residuals (~15 planes) live, so tall tiles fit VMEM easily and
