@@ -65,20 +65,41 @@ def _resolve_unroll(n_s: int) -> int:
     return 32 if n_s >= _UNROLL_LARGE_MIN_SPHERES else 16
 
 
+def _resolve_gate_geom(n_s: int, unroll: int) -> str:
+    """Chunk-gate geometry for this scene size (see `_GATE_GEOM`).
+
+    "auto": AABB slab gates for multi-chunk scenes (32 spread spheres make
+    the circumscribing+member-reach bounding sphere much looser than the
+    box: grid-1024 1080p d3 51.8 -> 48.9 ms, grid-64 9.4 -> 7.8, c5 4K
+    227.9 -> 208.8, v5e 2026-08-20); bounding spheres for single-chunk
+    scenes (a lone sphere's bounding sphere IS the sphere — the box is the
+    loose one: c3 3.3 -> 4.3 ms under aabb). Deterministic in the jitted
+    static args (sphere count, unroll), so jit caches stay consistent."""
+    env = os.environ.get("RT_GATE_GEOM", "auto")
+    if env != "auto":
+        return env
+    n_chunks = -(-n_s // unroll) if n_s else 0
+    return "aabb" if n_chunks >= 2 else "sphere"
+
+
 class _use_unroll:
-    """Set the active chunk size for the duration of one trace build."""
+    """Set the active chunk size + gate geometry for one trace build."""
 
     def __init__(self, n_spheres: int):
         self._n = _resolve_unroll(n_spheres)
+        self._geom = _resolve_gate_geom(n_spheres, self._n)
 
     def __enter__(self):
-        global _UNROLL
+        global _UNROLL, _GATE_GEOM
         self._old = _UNROLL
+        self._old_geom = _GATE_GEOM
         _UNROLL = self._n
+        _GATE_GEOM = self._geom
 
     def __exit__(self, *a):
-        global _UNROLL
+        global _UNROLL, _GATE_GEOM
         _UNROLL = self._old
+        _GATE_GEOM = self._old_geom
 
 
 def pallas_available() -> bool:
@@ -466,6 +487,54 @@ _SUB = int(os.environ.get("RT_SUB", "8"))  # sub-chunk gate granularity (spheres
 # VPU's preferred op shape.
 _GROUP_FOLD = os.environ.get("RT_GROUP_FOLD", "0") != "0"
 _GROUP_ROWS = int(os.environ.get("RT_GROUP_ROWS", "8"))
+# In-kernel chunk-gate geometry: "aabb" tests each ray's live segment
+# [t0, min(t_ex, best_t)] against the chunk's (padded) AABB via the slab
+# test; "sphere" uses the chunk bounding sphere (the original gate). The
+# bounding sphere circumscribes the AABB *plus* member reach, so it admits
+# diagonal near-misses the box rejects — traversal-simulated executed-fold
+# counts on grid-1024 1080p d3 (2026-08-20, captured level states, faithful
+# phase A + progressive any-lane gate): levels 1/2/3 sphere-gate
+# 5065/7549/7577 folds -> aabb-gate 4244/5962/6075 (-16/-21/-20%).
+# Bit-exact either way: both gates only skip chunks no live segment can
+# touch (inflated by the same pads phase A uses). The ACTIVE value is set
+# per scene by `_use_unroll` via `_resolve_gate_geom` (RT_GATE_GEOM env:
+# auto | aabb | sphere).
+_GATE_GEOM = "aabb"
+# Row-sorted bounce traversal: at bounce levels of the per-level path,
+# re-layout the frame into ROWS of 128 horizontally adjacent pixels
+# ([hp, wp] -> [hp * wp/128, 128], a pure reshape) and re-SORT the rows
+# between levels by a value key — (previous-level winner chunk, reflected
+# -direction bin), dead rows last — so each kernel tile groups rays that
+# need the SAME chunks instead of rays that happen to share a 32x128-pixel
+# strip. The fold is traversal-order independent and the shortlists are
+# conservative, so any row permutation is bit-exact; sorting only tightens
+# each tile's reach union / tube gates. Offline reach analysis (grid-1024
+# 1080p d3, 2026-08-20, tube sets clipped by each ray's final best_t):
+# spatial tiles fold 9.8k/11.3k/11.3k chunk-tiles at levels 1/2/3; rows
+# sorted by (chunk, ang8) fold 6.3k/8.2k/8.1k at 32-row tiles and
+# 5.3k/6.4k/6.4k cost-units at 8-row tiles (the per-row union bound is
+# ~4.3k). Row permutation is ~free on this backend (contiguous 512-byte
+# segment gathers; measured at the dispatch floor), unlike per-ray
+# gathers (16 ms/plane at 1080p — CLAUDE.md).
+#
+# MEASURED A LOSS (v5e, 2026-08-20, process-per-config): grid-1024 1080p
+# d3 52.4 -> 55.8 ms (32-row sorted tiles; +1.6 ms slower kernels + 2.7 ms
+# sort/permute glue), 92.7 ms at 8-row tiles. Traversal simulation on the
+# captured level states explains it: the kernel's PROGRESSIVE any-lane
+# best-t gate already executes only ~10-15 folds/tile (below the final-t
+# union bound the offline analysis scored groupings by), and sorted tiles
+# execute MORE (L1 5065 -> 5523): each 128-lane row carries minority lanes
+# that hit OTHER chunks, and grouping rows by majority key mixes
+# UNCORRELATED minorities from across the image — spatial neighbors'
+# minorities at least correlate. Beating the union gate needs per-lane
+# regrouping, and 128-lane rows are this hardware's minimum relayout unit
+# (per-ray XLA gathers cost 16 ms/plane). Default OFF; kept as the
+# documented sixth (and final) structural attempt at the per-lane/tile
+# fold gap.
+_ROW_SORT = os.environ.get("RT_ROW_SORT", "0") != "0"
+_ROW_SORT_MIN_CHUNKS = int(os.environ.get("RT_ROW_SORT_MIN_CHUNKS", "8"))
+_SORT_R = int(os.environ.get("RT_SORT_R", "32"))  # sorted-tile row height
+_SORT_DIR_BINS = int(os.environ.get("RT_SORT_DIR_BINS", "8"))
 # Patch-major bounce layout (A/B knob): re-layout bounce-level rays so one
 # (8, 128) block = one 32x32-PIXEL patch and one (32, 128) kernel tile = 4
 # Morton-adjacent patches (a ~64x64-pixel square) instead of a 32x128-pixel
@@ -735,6 +804,37 @@ def _shortlist_fold_core(
             dist2 = oo_s - 2.0 * m_g + tg[i] + tc * (2.0 * (do_s - s_g) + tc)
             return ok_s & (t1 >= t0_s) & (dist2 <= tr2[i])
 
+        if _GATE_GEOM == "aabb":
+            # Chunk-AABB slab test over the same live segment (see
+            # `_GATE_GEOM`); reciprocal directions hoisted out of the
+            # chunk loop.
+            alx, aly, alz = sm["alx"], sm["aly"], sm["alz"]
+            ahx, ahy, ahz = sm["ahx"], sm["ahy"], sm["ahz"]
+            ivx_s, ivy_s, ivz_s = _srecip(dx_s), _srecip(dy_s), _srecip(dz_s)
+
+            def chunk_reach(i, bt_c):
+                t1x = (alx[i] - ox_s) * ivx_s
+                t2x = (ahx[i] - ox_s) * ivx_s
+                t1y = (aly[i] - oy_s) * ivy_s
+                t2y = (ahy[i] - oy_s) * ivy_s
+                t1z = (alz[i] - oz_s) * ivz_s
+                t2z = (ahz[i] - oz_s) * ivz_s
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                    jnp.minimum(t1z, t2z),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                    jnp.maximum(t1z, t2z),
+                )
+                t1 = jnp.minimum(tex_s, bt_c)
+                return ok_s & (
+                    jnp.maximum(tn, t0_s) <= jnp.minimum(tf, t1)
+                )
+        else:
+            def chunk_reach(i, bt_c):
+                return tube_reach(gx, gy, gz, gg, gr2, i, bt_c)
+
         def fold_sub(sb, cr):
             for u in range(_SUB):
                 cr = sphere_one(sb + u, cr)
@@ -765,7 +865,7 @@ def _shortlist_fold_core(
 
             if not _TUBE_GATE:
                 return do_chunk((bt, bi))
-            reachable = tube_reach(gx, gy, gz, gg, gr2, c, bt)
+            reachable = chunk_reach(c, bt)
             return jax.lax.cond(
                 jnp.any(reachable), do_chunk, lambda cr: cr, (bt, bi)
             )
@@ -784,14 +884,16 @@ def _shortlist_fold_core(
 def _sm_dict(cx, cy, cz, cr2, nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz,
              px, py, pz, ln, wd, bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
              chunk_list, counts, gx, gy, gz, gg, gr2,
-             sgx, sgy, sgz, sgg, sgr2, slab):
+             sgx, sgy, sgz, sgg, sgr2,
+             alx, aly, alz, ahx, ahy, ahz, slab):
     return dict(
         cx=cx, cy=cy, cz=cz, cr2=cr2, nx=nx, ny=ny, nz=nz, dpl=dpl,
         rx=rx, ry=ry, rz=rz, ux=ux, uy=uy, uz=uz, px=px, py=py, pz=pz,
         ln=ln, wd=wd, bmnx=bmnx, bmny=bmny, bmnz=bmnz, bmxx=bmxx,
         bmxy=bmxy, bmxz=bmxz, chunk_list=chunk_list, counts=counts,
         gx=gx, gy=gy, gz=gz, gg=gg, gr2=gr2,
-        sgx=sgx, sgy=sgy, sgz=sgz, sgg=sgg, sgr2=sgr2, slab=slab,
+        sgx=sgx, sgy=sgy, sgz=sgz, sgg=sgg, sgr2=sgr2,
+        alx=alx, aly=aly, alz=alz, ahx=ahx, ahy=ahy, ahz=ahz, slab=slab,
     )
 
 
@@ -807,6 +909,7 @@ def _kernel_shortlist(n_w: int, n_b: int, wall_base: int, box_base: int,
         counts,      # [tiles] i32: -1 dead tile, else shortlist length
         gx, gy, gz, gg, gr2,  # chunk bounding spheres: center, |c|^2, (r+pad)^2
         sgx, sgy, sgz, sgg, sgr2,  # sub-chunk bounding spheres (in-chunk gates)
+        alx, aly, alz, ahx, ahy, ahz,  # chunk AABBs (the "aabb" gate geometry)
         slab,        # [8] f32: sphere-set AABB lo.xyz, hi.xyz (+2 pad)
         ox, oy, oz, dx, dy, dz, amask,
         bt_ref, bi_ref,
@@ -815,7 +918,8 @@ def _kernel_shortlist(n_w: int, n_b: int, wall_base: int, box_base: int,
             cx, cy, cz, cr2, nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz,
             px, py, pz, ln, wd, bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
             chunk_list, counts, gx, gy, gz, gg, gr2,
-            sgx, sgy, sgz, sgg, sgr2, slab,
+            sgx, sgy, sgz, sgg, sgr2,
+            alx, aly, alz, ahx, ahy, ahz, slab,
         )
         t = pl.program_id(0) * tiles_w + pl.program_id(1)
         vox, voy, voz = ox[:], oy[:], oz[:]
@@ -1175,7 +1279,8 @@ def _kernel_shortlist_hit(n_w: int, n_b: int, wall_base: int, box_base: int,
         nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz, px, py, pz, ln, wd,
         bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
         chunk_list, counts, gx, gy, gz, gg, gr2,
-        sgx, sgy, sgz, sgg, sgr2, slab,
+        sgx, sgy, sgz, sgg, sgr2,
+        alx, aly, alz, ahx, ahy, ahz, slab,
         srad,  # [n_s_pad] sphere radii (for the winner normal)
         mcr, mcg, mcb, mam, mmt, mdf, msp, mex,  # padded global materials
         ox, oy, oz, dx, dy, dz, amask,
@@ -1187,7 +1292,8 @@ def _kernel_shortlist_hit(n_w: int, n_b: int, wall_base: int, box_base: int,
             cx, cy, cz, cr2, nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz,
             px, py, pz, ln, wd, bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
             chunk_list, counts, gx, gy, gz, gg, gr2,
-            sgx, sgy, sgz, sgg, sgr2, slab,
+            sgx, sgy, sgz, sgg, sgr2,
+            alx, aly, alz, ahx, ahy, ahz, slab,
         )
         sm.update(srad=srad, mcr=mcr, mcg=mcg, mcb=mcb, mam=mam, mmt=mmt,
                   mdf=mdf, msp=msp, mex=mex)
@@ -1298,18 +1404,38 @@ def _reach_stats_rows(slab, ox, oy, oz, dx, dy, dz, w_alive,
         for idx, v in enumerate(vals):
             srow = jnp.where((row == s_i) & (lane == idx), v, srow)
     if n_chunks and gt is not None:
-        gx, gy, gz, gg, gr2 = gt
+        gx, gy, gz, gg, gr2, alx, aly, alz, ahx, ahy, ahz = gt
         oo = ox * ox + oy * oy + oz * oz
         do = dx * ox + dy * oy + dz * oz
+        if _GATE_GEOM == "aabb":
+            ivx, ivy, ivz = _srecip(dx), _srecip(dy), _srecip(dz)
         for c in range(n_chunks):
-            # Same tube test as _shortlist_fold_core's in-kernel gate, with
-            # best_t unknown (t_exn clip only) — strictly conservative.
-            s_g = dx * gx[c] + dy * gy[c] + dz * gz[c]
-            m_g = ox * gx[c] + oy * gy[c] + oz * gz[c]
-            tc = jnp.clip(s_g - do, t0n, t_exn)
-            dist2 = oo - 2.0 * m_g + gg[c] + tc * (2.0 * (do - s_g) + tc)
+            # Same test as _shortlist_fold_core's in-kernel gate (per
+            # _GATE_GEOM), with best_t unknown (t_exn clip only) —
+            # strictly conservative.
+            if _GATE_GEOM == "aabb":
+                t1x, t2x = (alx[c] - ox) * ivx, (ahx[c] - ox) * ivx
+                t1y, t2y = (aly[c] - oy) * ivy, (ahy[c] - oy) * ivy
+                t1z, t2z = (alz[c] - oz) * ivz, (ahz[c] - oz) * ivz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                    jnp.minimum(t1z, t2z),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                    jnp.maximum(t1z, t2z),
+                )
+                hit_c = jnp.maximum(tn, t0n) <= jnp.minimum(tf, t_exn)
+            else:
+                s_g = dx * gx[c] + dy * gy[c] + dz * gz[c]
+                m_g = ox * gx[c] + oy * gy[c] + oz * gz[c]
+                tc = jnp.clip(s_g - do, t0n, t_exn)
+                dist2 = (
+                    oo - 2.0 * m_g + gg[c] + tc * (2.0 * (do - s_g) + tc)
+                )
+                hit_c = dist2 <= gr2[c]
             v = jnp.max(
-                jnp.where(usedn & (dist2 <= gr2[c]), 1.0, 0.0)
+                jnp.where(usedn & hit_c, 1.0, 0.0)
             )
             srow = jnp.where(
                 (row == _SLICES + c // _SL_C) & (lane == c % _SL_C), v, srow
@@ -1346,11 +1472,12 @@ def _stats_to_chunk_reach(s_all, n_chunks: int):
 
 
 def _kernel_ray_stats(n_chunks: int):
-    def kernel(slab, gx, gy, gz, gg, gr2, ox, oy, oz, dx, dy, dz, amask,
-               stats_ref):
+    def kernel(slab, gx, gy, gz, gg, gr2, alx, aly, alz, ahx, ahy, ahz,
+               ox, oy, oz, dx, dy, dz, amask, stats_ref):
         stats_ref[0, 0] = _reach_stats_rows(
             slab, ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], amask[:],
-            gt=(gx, gy, gz, gg, gr2), n_chunks=n_chunks,
+            gt=(gx, gy, gz, gg, gr2, alx, aly, alz, ahx, ahy, ahz),
+            n_chunks=n_chunks,
         )
 
     return kernel
@@ -1367,9 +1494,9 @@ def _ray_stats(slab, rays, amask, gtables=None, *, sl_r: int,
     grid = (h // sl_r, w // _SL_C)
     th, tw = grid
     if gtables is None:
-        gtables = tuple(jnp.zeros((1,), jnp.float32) for _ in range(5))
+        gtables = tuple(jnp.zeros((1,), jnp.float32) for _ in range(11))
         n_chunks = 0
-    gtables = tuple(gtables)[:5]  # chunk-level spheres only (no sub tables)
+    gtables = tuple(gtables)  # 11 chunk-level tables (spheres + AABBs)
     spec = pl.BlockSpec(
         (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
     )
@@ -1378,7 +1505,7 @@ def _ray_stats(slab, rays, amask, gtables=None, *, sl_r: int,
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=12,
         grid=grid,
         in_specs=[spec] * 7,
         out_specs=stats_spec,
@@ -1412,7 +1539,8 @@ def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
         nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz, px, py, pz, ln, wd,
         bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
         chunk_list, counts, gx, gy, gz, gg, gr2,
-        sgx, sgy, sgz, sgg, sgr2, slab,
+        sgx, sgy, sgz, sgg, sgr2,
+        alx, aly, alz, ahx, ahy, ahz, slab,
         srad, mcr, mcg, mcb, mam, mmt, mdf, msp, mex,
         lpx, lpy, lpz, lcr, lcg, lcb,  # point lights [n_pt or 1]
         sdx, sdy, sdz, scr, scg, scb,  # sun lights (pre-unit dirs)
@@ -1425,7 +1553,8 @@ def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
             cx, cy, cz, cr2, nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz,
             px, py, pz, ln, wd, bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
             chunk_list, counts, gx, gy, gz, gg, gr2,
-            sgx, sgy, sgz, sgg, sgr2, slab,
+            sgx, sgy, sgz, sgg, sgr2,
+            alx, aly, alz, ahx, ahy, ahz, slab,
         )
         sm.update(srad=srad, mcr=mcr, mcg=mcg, mcb=mcb, mam=mam, mmt=mmt,
                   mdf=mdf, msp=msp, mex=mex)
@@ -1484,7 +1613,10 @@ def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
             )
             stats_ref[0, 0] = _reach_stats_rows(
                 slab, nox, noy, noz, ndx, ndy, ndz, w_next,
-                gt=(gx, gy, gz, gg, gr2) if with_reach else None,
+                gt=(
+                    (gx, gy, gz, gg, gr2, alx, aly, alz, ahx, ahy, ahz)
+                    if with_reach else None
+                ),
                 n_chunks=n_chunks if with_reach else 0,
             )
 
@@ -1513,7 +1645,7 @@ def _trace_level(tables, chunk_list, counts, gtables, slab, mats, lights,
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=38 + 9 + 13,
+        num_scalar_prefetch=38 + 6 + 9 + 13,
         grid=grid,
         in_specs=[spec] * 10,
         out_specs=(spec,) * 12 + (stats_spec,),
@@ -1553,7 +1685,8 @@ def _kernel_trace_whole(n_w: int, n_b: int, wall_base: int, box_base: int,
         cx, cy, cz, cr2,
         nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz, px, py, pz, ln, wd,
         bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
-        gx, gy, gz, gg, gr2, sgx, sgy, sgz, sgg, sgr2, slab,
+        gx, gy, gz, gg, gr2, sgx, sgy, sgz, sgg, sgr2,
+        alx, aly, alz, ahx, ahy, ahz, slab,
         srad, mcr, mcg, mcb, mam, mmt, mdf, msp, mex,
         lpx, lpy, lpz, lcr, lcg, lcb,
         sdx, sdy, sdz, scr, scg, scb,
@@ -1565,7 +1698,8 @@ def _kernel_trace_whole(n_w: int, n_b: int, wall_base: int, box_base: int,
             cx, cy, cz, cr2, nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz,
             px, py, pz, ln, wd, bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
             None, None,  # chunk_list/counts unused under counts_val
-            gx, gy, gz, gg, gr2, sgx, sgy, sgz, sgg, sgr2, slab,
+            gx, gy, gz, gg, gr2, sgx, sgy, sgz, sgg, sgr2,
+            alx, aly, alz, ahx, ahy, ahz, slab,
         )
         sm.update(srad=srad, mcr=mcr, mcg=mcg, mcb=mcb, mam=mam, mmt=mmt,
                   mdf=mdf, msp=msp, mex=mex)
@@ -1655,7 +1789,7 @@ def _trace_whole(tables, gtables, slab, mats, lights, sky, rays, *,
     )
     n_out = 3 + 2 * (depth + 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=25 + 11 + 9 + 13,
+        num_scalar_prefetch=25 + 17 + 9 + 13,
         grid=grid,
         in_specs=[spec] * 7,
         out_specs=(spec,) * n_out,
@@ -1749,6 +1883,64 @@ def _light_sky_tables(scene: Scene):
         jnp.asarray(sky.gradient_exponent, jnp.float32).reshape(1),
     ])
     return light_tbls, sky_tbl, n_pt, n_sun
+
+
+def _to_rows(x, hp: int, wp: int):
+    """[hp, wp] plane -> [hp * wp/128, 128] rows of adjacent pixels.
+
+    Pure reshape: row ``i * wp/128 + j`` is image row ``i``, pixel columns
+    ``[j*128, (j+1)*128)`` — consecutive rows start out spatially adjacent,
+    so the stable sort preserves locality within equal keys."""
+    return x.reshape(hp, wp // _SL_C, _SL_C).reshape(-1, _SL_C)
+
+
+def _from_rows(x, hp: int, wp: int):
+    """Inverse of `_to_rows`."""
+    return x.reshape(hp, wp // _SL_C, _SL_C).reshape(hp, wp)
+
+
+def _row_sort_order(i_prev, rays6, w, n_chunks: int, wall_base: int):
+    """[n_rows] i32 permutation grouping coherent rows (see `_ROW_SORT`).
+
+    Key per row of 128 rays: (majority winner CHUNK among the row's
+    sphere-hitting lanes, reflected-direction bin), wall-only rows in one
+    trailing chunk bucket (their origins spread over the wall; direction is
+    the only usable key), fully-dead rows last (they compact into dead
+    tiles the kernel cond-skips whole levels for). Everything here is
+    selection data — gradients never flow through the permutation."""
+    sg = jax.lax.stop_gradient
+    i_prev, w = sg(i_prev), sg(w)
+    dx, dy, dz = sg(rays6[3]), sg(rays6[4]), sg(rays6[5])
+    live = w > 0.0
+    is_s = (i_prev >= 0) & (i_prev < wall_base) & live
+    ch = jnp.where(is_s, i_prev // _UNROLL, n_chunks)
+    cnt = jnp.stack(
+        [jnp.sum(ch == c, axis=1, dtype=jnp.int32) for c in range(n_chunks)],
+        axis=1,
+    )
+    maj = jnp.argmax(cnt, axis=1).astype(jnp.int32)
+    has_s = jnp.max(cnt, axis=1) > 0
+    # Direction bin: sign(x) x angle-in-(y,z) of the row's mean live
+    # direction (the camera axis is x for every stock scene; for arbitrary
+    # scenes this is still a valid — merely unoptimized — coherence key).
+    bins = max(_SORT_DIR_BINS, 1)
+    if bins > 1:
+        half = max(bins // 2, 1)
+        my = jnp.sum(jnp.where(live, dy, 0.0), axis=1)
+        mz = jnp.sum(jnp.where(live, dz, 0.0), axis=1)
+        mx = jnp.sum(jnp.where(live, dx, 0.0), axis=1)
+        ang = jnp.arctan2(mz, my)
+        ang_b = jnp.clip(
+            ((ang + jnp.pi) * (half / (2.0 * jnp.pi))).astype(jnp.int32),
+            0, half - 1,
+        )
+        dirb = jnp.where(mx > 0.0, half, 0) + ang_b
+    else:
+        dirb = jnp.zeros_like(maj)
+    row_live = jnp.any(live, axis=1)
+    key = jnp.where(has_s, maj, n_chunks) * bins + dirb
+    key = jnp.where(row_live, key, jnp.int32(1 << 30))
+    return jnp.argsort(key)  # stable: ties keep spatial order
 
 
 def _trace_levels_pallas_impl(
@@ -1861,11 +2053,35 @@ def _trace_levels_pallas_impl(
         idxs = [crop(outs[4 + 2 * k]) for k in range(depth + 1)]
         return V3(ar, ag, ab), ts, idxs
 
+    # Row-sorted bounce traversal (see `_ROW_SORT` above). Forward-only:
+    # the backward consumes the forward's saved per-level shortlists and
+    # would need per-level permutation plumbing.
+    rs = (
+        _ROW_SORT and not with_residuals and depth > 0 and not pm
+        and _SLICES == 1 and n_chunks >= _ROW_SORT_MIN_CHUNKS
+        and (hp * (wp // _SL_C)) % _check_sl_r(_SORT_R) == 0
+    )
+    cur_pos = None  # sorted position -> original row id
+    i_prev_cur = None  # previous level's winner-index plane, current layout
+
     ts, idxs = [], []
     rays_levels, w_levels, sl_levels = [], [], []  # per-level residuals
     prev_stats = None
     for k in range(depth + 1):
-        sl_k = sl_r if k == 0 else sl_rb
+        sl_k = sl_r if k == 0 else (_SORT_R if rs else sl_rb)
+        if rs and k >= 1:
+            if k == 1:
+                rays = tuple(_to_rows(c, hp, wp) for c in rays)
+                state = tuple(_to_rows(c, hp, wp) for c in state)
+                i_prev_cur = _to_rows(i_prev_cur, hp, wp)
+                cur_pos = jnp.arange(rays[0].shape[0], dtype=jnp.int32)
+            order = _row_sort_order(
+                i_prev_cur, rays, state[0], n_chunks,
+                wall_base=counts_tbl["n_s"],
+            )
+            rays = tuple(jnp.take(c, order, axis=0) for c in rays)
+            state = tuple(jnp.take(c, order, axis=0) for c in state)
+            cur_pos = jnp.take(cur_pos, order)
         if pm and k == 1:
             rays = tuple(to_pm(c) for c in rays)
             state = tuple(to_pm(c) for c in state)
@@ -1880,14 +2096,9 @@ def _trace_levels_pallas_impl(
             counts = jnp.where(alive, 0, -1).astype(jnp.int32).reshape(-1)
             n_chunks_eff = 1
             chunk_list = jnp.zeros((th_k * tw_k * _SLICES,), jnp.int32)
-            gtables = (
-                tuple(jnp.zeros((1,), jnp.float32) for _ in range(4))
-                + (jnp.full((1,), -1.0, jnp.float32),)
-                + tuple(jnp.zeros((1,), jnp.float32) for _ in range(4))
-                + (jnp.full((1,), -1.0, jnp.float32),)
-            )
+            gtables = _dummy_gtables()
             slab = jnp.zeros((8,), jnp.float32)
-        elif k > 0 and _PHASE_A_BOUNCE and (
+        elif k > 0 and not rs and _PHASE_A_BOUNCE and (
             sl_rb == sl_r if not pm else k >= 2
         ):
             # Bounce shortlists from the PREVIOUS kernel's tile stats — the
@@ -1927,7 +2138,7 @@ def _trace_levels_pallas_impl(
             n_w_pad=n_w_pad, n_pt=n_pt, n_sun=n_sun,
             is_last=(k == depth), sl_r=sl_k,
             emit_stats=(
-                (k < depth) and _PHASE_A_BOUNCE and n_chunks > 0
+                (k < depth) and not rs and _PHASE_A_BOUNCE and n_chunks > 0
                 and (sl_rb == sl_r if not pm else k >= 1)
             ),
             interpret=interpret,
@@ -1936,18 +2147,29 @@ def _trace_levels_pallas_impl(
         rays = tuple(outs[6:12])
         prev_stats = outs[12]
         state = (w_k, ar, ag, ab)
+        i_prev_cur = i_k
         if with_residuals:
             ts.append(t_k)  # backward kernels consume the PADDED planes
             idxs.append(i_k)
         else:
             if pm and k >= 1:
                 t_k, i_k = from_pm(t_k), from_pm(i_k)
+            if rs and k >= 1:
+                inv = jnp.argsort(cur_pos)
+                t_k = _from_rows(jnp.take(t_k, inv, axis=0), hp, wp)
+                i_k = _from_rows(jnp.take(i_k, inv, axis=0), hp, wp)
             ts.append(t_k[:h, :w] if (hp != h or wp != w) else t_k)
             idxs.append(i_k[:h, :w] if (hp != h or wp != w) else i_k)
 
     _, ar, ag, ab = state
     if pm and depth > 0:
         ar, ag, ab = from_pm(ar), from_pm(ag), from_pm(ab)
+    if rs and depth > 0:
+        inv = jnp.argsort(cur_pos)
+        ar, ag, ab = (
+            _from_rows(jnp.take(c, inv, axis=0), hp, wp)
+            for c in (ar, ag, ab)
+        )
     if hp != h or wp != w:
         ar, ag, ab = ar[:h, :w], ag[:h, :w], ab[:h, :w]
     if with_residuals:
@@ -2363,7 +2585,7 @@ def _fold_shortlist_hit(tables, chunk_list, counts, gtables, slab, mats,
         (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=38 + 9,
+        num_scalar_prefetch=38 + 6 + 9,
         grid=grid,
         in_specs=[spec] * 7,
         out_specs=(spec,) * 16,
@@ -2392,7 +2614,7 @@ def _fold_shortlist(tables, chunk_list, counts, gtables, slab, rays, *,
         (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=38,
+        num_scalar_prefetch=38 + 6,
         grid=grid,
         in_specs=[spec] * 7,
         out_specs=(spec, spec),
@@ -2406,6 +2628,17 @@ def _fold_shortlist(tables, chunk_list, counts, gtables, slab, rays, *,
         grid_spec=grid_spec,
         interpret=interpret,
     )(*tables, chunk_list, counts, *gtables, slab, *rays)
+
+
+def _dummy_gtables():
+    """Never-reachable culling tables for sphere-free scenes: bounding
+    spheres with r2 = -1 (the tube gate always rejects) and inverted AABBs
+    (lo > hi, the slab test always rejects)."""
+    z1 = jnp.zeros((1,), jnp.float32)
+    neg = jnp.full((1,), -1.0, jnp.float32)
+    lo = jnp.full((1,), 1e8, jnp.float32)
+    hi = jnp.full((1,), -1e8, jnp.float32)
+    return (z1, z1, z1, z1, neg, z1, z1, z1, z1, neg, lo, lo, lo, hi, hi, hi)
 
 
 def _slice_reduce(x, th, tw, op, sl_r=_SL_R):
@@ -2491,8 +2724,12 @@ def _chunk_culling_tables(scene: Scene, n_chunks: int):
     else:
         sgx = sgy = sgz = sgg = jnp.zeros((1,), jnp.float32)
         sgr2 = jnp.full((1,), -1.0, jnp.float32)
+    # Chunk AABBs ride along for the in-kernel "aabb" gate geometry
+    # (_GATE_GEOM); already inflated by _AABB_PAD above, and empty-pad
+    # chunks have lo > hi so the slab test always rejects them.
     gtables = (gx, gy, gz, gx * gx + gy * gy + gz * gz, gr2,
-               sgx, sgy, sgz, sgg, sgr2)
+               sgx, sgy, sgz, sgg, sgr2,
+               c_lo[0], c_lo[1], c_lo[2], c_hi[0], c_hi[1], c_hi[2])
     slab = jnp.concatenate([lo, hi, jnp.zeros((2,), jnp.float32)])
     return c_lo, c_hi, gtables, gr, slab
 
@@ -2584,7 +2821,7 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
         with_reach = _TUBE_SHORTLIST and n_chunks <= _chunk_reach_capacity()
         s_all = _ray_stats(
             slab, rays, act.astype(jnp.float32),
-            gtables[:5] if with_reach else None,
+            (gtables[:5] + gtables[10:16]) if with_reach else None,
             sl_r=sl_r, n_chunks=n_chunks if with_reach else 0,
             interpret=False,
         )
@@ -2755,12 +2992,7 @@ def _hit_closest_pallas_shortlist_impl(
         counts = jnp.where(alive, 0, -1).astype(jnp.int32).reshape(-1)
         n_chunks_eff = 1
         chunk_list = jnp.zeros((th * tw * _SLICES,), jnp.int32)
-        gtables = (
-            tuple(jnp.zeros((1,), jnp.float32) for _ in range(4))
-            + (jnp.full((1,), -1.0, jnp.float32),)
-            + tuple(jnp.zeros((1,), jnp.float32) for _ in range(4))
-            + (jnp.full((1,), -1.0, jnp.float32),)
-        )
+        gtables = _dummy_gtables()
         slab = jnp.zeros((8,), jnp.float32)
     else:
         chunk_list, counts, gtables, slab = _shortlist_phase_a(
@@ -2836,12 +3068,7 @@ def _fold_closest_pallas_shortlist_impl(
         counts = jnp.where(alive, 0, -1).astype(jnp.int32).reshape(-1)
         n_chunks_eff = 1
         chunk_list = jnp.zeros((th * tw * _SLICES,), jnp.int32)
-        gtables = (
-            tuple(jnp.zeros((1,), jnp.float32) for _ in range(4))
-            + (jnp.full((1,), -1.0, jnp.float32),)
-            + tuple(jnp.zeros((1,), jnp.float32) for _ in range(4))
-            + (jnp.full((1,), -1.0, jnp.float32),)
-        )
+        gtables = _dummy_gtables()
         slab = jnp.zeros((8,), jnp.float32)
     else:
         chunk_list, counts, gtables, slab = _shortlist_phase_a(

@@ -373,7 +373,8 @@ def test_ray_stats_chunk_reach_matches_xla():
     n_chunks = -(-64 // pf._UNROLL)
     c_lo, c_hi, gtables, gr, slab = pf._chunk_culling_tables(scene, n_chunks)
     s_all = pf._ray_stats(
-        slab, rays, act.astype(jnp.float32), gtables,
+        slab, rays, act.astype(jnp.float32),
+        gtables[:5] + gtables[10:16],  # the 11 chunk-level tables
         sl_r=sl_r, n_chunks=n_chunks, interpret=True,
     )
     got = np.asarray(pf._stats_to_chunk_reach(s_all, n_chunks))
@@ -399,12 +400,28 @@ def test_ray_stats_chunk_reach_matches_xla():
     do = dx * ox + dy * oy + dz * oz
     th, tw = h // sl_r, w // pf._SL_C
     want = np.zeros((th, tw, n_chunks), bool)
+    alx, aly, alz, ahx, ahy, ahz = gtables[10:16]
     for c in range(n_chunks):
-        s_g = dx * gx[c] + dy * gy[c] + dz * gz[c]
-        m_g = ox * gx[c] + oy * gy[c] + oz * gz[c]
-        tc = jnp.clip(s_g - do, t0, t_ex)
-        dist2 = oo - 2.0 * m_g + gg[c] + tc * (2.0 * (do - s_g) + tc)
-        reach = used & (dist2 <= gr2[c])
+        if pf._GATE_GEOM == "aabb":
+            ivx, ivy, ivz = pf._srecip(dx), pf._srecip(dy), pf._srecip(dz)
+            t1x, t2x = (alx[c] - ox) * ivx, (ahx[c] - ox) * ivx
+            t1y, t2y = (aly[c] - oy) * ivy, (ahy[c] - oy) * ivy
+            t1z, t2z = (alz[c] - oz) * ivz, (ahz[c] - oz) * ivz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z),
+            )
+            reach = used & (jnp.maximum(tn, t0) <= jnp.minimum(tf, t_ex))
+        else:
+            s_g = dx * gx[c] + dy * gy[c] + dz * gz[c]
+            m_g = ox * gx[c] + oy * gy[c] + oz * gz[c]
+            tc = jnp.clip(s_g - do, t0, t_ex)
+            dist2 = oo - 2.0 * m_g + gg[c] + tc * (2.0 * (do - s_g) + tc)
+            reach = used & (dist2 <= gr2[c])
         want[..., c] = np.asarray(
             jnp.any(reach.reshape(th, sl_r, tw, pf._SL_C), axis=(1, 3))
         )
@@ -423,3 +440,68 @@ def test_ray_stats_chunk_reach_matches_xla():
     ys, xs = np.nonzero(hit_sphere)
     assert len(ys)  # scene visible in this crop
     assert got[ti[ys, 0], tj[0, xs], chunk_of[ys, xs]].all()
+
+
+def test_gate_geometries_bit_compatible(monkeypatch):
+    """The "aabb" and "sphere" chunk-gate geometries (RT_GATE_GEOM) give
+    bit-identical trace outputs — both gates only skip chunks no live
+    segment can touch, so the fold result cannot depend on the geometry."""
+    from raytracer_tpu.core.v3 import V3
+    from raytracer_tpu.models.scenes import random_sphere_scene
+    from raytracer_tpu.ops import pallas_fold as pf
+    from raytracer_tpu.ops import raygen
+
+    scene = random_sphere_scene(130, seed=5)  # multi-chunk, irregular
+    cam = reference_demo_camera()
+    frame = raygen.camera_frame(cam, 160, 96)
+    o3, d3 = raygen.generate_rays(frame, 160, 96)
+    o = V3(o3[..., 0], o3[..., 1], o3[..., 2])
+    d = V3(d3[..., 0], d3[..., 1], d3[..., 2])
+
+    outs = {}
+    for geom in ("aabb", "sphere"):
+        monkeypatch.setenv("RT_GATE_GEOM", geom)
+        acc, ts, idxs = pf.trace_levels_pallas(scene, o, d, depth=2)
+        outs[geom] = (acc, ts, idxs)
+    a, b = outs["aabb"], outs["sphere"]
+    for ca, cb in zip((a[0].x, a[0].y, a[0].z), (b[0].x, b[0].y, b[0].z)):
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+    for ta, tb in zip(a[1], b[1]):
+        np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+    for ia, ib in zip(a[2], b[2]):
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+
+
+def test_row_sorted_traversal_bit_exact(monkeypatch):
+    """RT_ROW_SORT=1 (row-permuted bounce traversal) is a pure permutation:
+    trace outputs are bit-identical to the unsorted path at every level,
+    for 32- and 8-row sorted tiles. (Default-off: measured a LOSS on the
+    v5e — see the _ROW_SORT comment block — but the machinery stays
+    correct for sparser scene classes.)"""
+    from raytracer_tpu.core.v3 import V3
+    from raytracer_tpu.ops import pallas_fold as pf
+    from raytracer_tpu.ops import raygen
+
+    scene = grid_sphere_scene(130)
+    cam = reference_demo_camera()
+    frame = raygen.camera_frame(cam, 160, 96)
+    o3, d3 = raygen.generate_rays(frame, 160, 96)
+    o = V3(o3[..., 0], o3[..., 1], o3[..., 2])
+    d = V3(d3[..., 0], d3[..., 1], d3[..., 2])
+
+    acc0, ts0, idx0 = pf.trace_levels_pallas(scene, o, d, depth=3)
+    for sort_r in (32, 8):
+        monkeypatch.setattr(pf, "_ROW_SORT", True)
+        monkeypatch.setattr(pf, "_SORT_R", sort_r)
+        acc1, ts1, idx1 = pf.trace_levels_pallas(scene, o, d, depth=3)
+        np.testing.assert_array_equal(np.asarray(acc0.x), np.asarray(acc1.x))
+        np.testing.assert_array_equal(np.asarray(acc0.y), np.asarray(acc1.y))
+        np.testing.assert_array_equal(np.asarray(acc0.z), np.asarray(acc1.z))
+        for k, (a, b) in enumerate(zip(ts0, ts1)):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"t level {k}"
+            )
+        for k, (a, b) in enumerate(zip(idx0, idx1)):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"idx level {k}"
+            )
