@@ -153,8 +153,13 @@ def _kernel(n_s: int, n_w: int, n_b: int, wall_base: int, box_base: int):
             b_half = do - s
             c_full = oo - 2.0 * m + cr2[n]
             disc = b_half * b_half - c_full
-            t = -b_half - jnp.sqrt(jnp.maximum(disc, 0.0))
-            win = (disc >= 0.0) & (t > 0.0) & (t < bt)
+            # Miss lanes (disc < 0) make t NaN and every IEEE compare
+            # below false — same selections as the explicit disc >= 0
+            # guard, 3 fewer VPU ops per (ray, sphere) test. Selection
+            # -only (stop-gradient) so the NaN never meets a derivative;
+            # bit-compat asserted vs the jnp fold by tests.
+            t = -b_half - jnp.sqrt(disc)
+            win = (t > 0.0) & (t < bt)
             return jnp.where(win, t, bt), jnp.where(win, n, bi)
 
         # Mosaic only supports unroll=1 fori_loops; unroll by hand over
@@ -438,6 +443,12 @@ _SL_C = 128             # rows x 128 lanes (sweep on v5e: 64x128 beat
 # 53.1 ~ tie, demo 4.22 — the finer level-0 tile costs the primary pass
 # more than the stats hand-off saves).
 _SL_R_BOUNCE = int(os.environ.get("RT_SL_R_BOUNCE", "32"))
+# Scenes with at least this many chunks run level 0 at the BOUNCE tile
+# height too (one tiling for the whole trace -> the trace kernels' free
+# in-VMEM stats hand-off replaces per-level _ray_stats; see the
+# trace-impl comment). Well above _FUSED_MAX_CHUNKS so the fused/demo
+# class keeps its measured-best 64-row tiles.
+_SL_R_MATCH_MIN_CHUNKS = int(os.environ.get("RT_SL_R_MATCH_MIN_CHUNKS", "8"))
 _AABB_PAD = 1e-3  # conservative inflation absorbing f32 rounding drift
 _GATE_PAD = 1e-2  # bounding-sphere inflation for the in-kernel tube gate
 _PHASE_A_BOUNCE = os.environ.get("RT_PHASE_A_BOUNCE", "1") != "0"
@@ -716,8 +727,9 @@ def _shortlist_fold_core(
                 b_half = doq - s
                 c_full = ooq - 2.0 * m + cr2[idx]
                 disc = b_half * b_half - c_full
-                tt = -b_half - jnp.sqrt(jnp.maximum(disc, 0.0))
-                win = (disc >= 0.0) & (tt > 0.0) & (
+                # NaN-compare miss rejection (see _kernel's sphere_one).
+                tt = -b_half - jnp.sqrt(disc)
+                win = (tt > 0.0) & (
                     (tt < bt) | ((tt == bt) & (idx < bi))
                 )
                 return jnp.where(win, tt, bt), jnp.where(win, idx, bi)
@@ -788,8 +800,9 @@ def _shortlist_fold_core(
             b_half = do_s - s
             c_full = oo_s - 2.0 * m + cr2[idx]
             disc = b_half * b_half - c_full
-            tt = -b_half - jnp.sqrt(jnp.maximum(disc, 0.0))
-            win = (disc >= 0.0) & (tt > 0.0) & (
+            # NaN-compare miss rejection (see _kernel's sphere_one).
+            tt = -b_half - jnp.sqrt(disc)
+            win = (tt > 0.0) & (
                 (tt < bt) | ((tt == bt) & (idx < bi))
             )
             return jnp.where(win, tt, bt), jnp.where(win, idx, bi)
@@ -1966,7 +1979,17 @@ def _trace_levels_pallas_impl(
     """
     if interpret is None:
         interpret = not pallas_available()
-    sl_r = _check_sl_r(_SL_R)
+    # Level-0 row tile, scene-adaptive: large (multi-chunk) scenes use the
+    # bounce-tile height so EVERY level keeps one tiling and the free
+    # prev-kernel stats hand-off replaces the per-level `_ray_stats` +
+    # XLA phase-A re-tiling (measured v5e 2026-08-20: grid-1024 1080p d3
+    # 48.5 -> 47.7 ms, c5 4K d4 208.8 -> 204.7); small scenes keep the
+    # 64-row tile (the fused/demo class loses with 32: c3 4.24 -> 4.40).
+    n_s_est = len(scene.spheres)
+    n_chunks_est = -(-n_s_est // _UNROLL) if n_s_est else 0
+    sl_r = _check_sl_r(
+        _SL_R_BOUNCE if n_chunks_est >= _SL_R_MATCH_MIN_CHUNKS else _SL_R
+    )
     sl_rb = _check_sl_r(_SL_R_BOUNCE)
     if sl_r % sl_rb != 0 and sl_rb % sl_r != 0:
         raise ValueError(
