@@ -62,6 +62,11 @@ def _resolve_unroll(n_s: int) -> int:
     env = os.environ.get("RT_FOLD_UNROLL")
     if env:
         return int(env)
+    if 0 < n_s <= 16:
+        # Single-chunk scenes fold EXACTLY their spheres: a 3-prim demo
+        # level was paying 16 sphere tests (15 guaranteed-miss pads) per
+        # ray — and the winner regather another 16 masked-select sweeps.
+        return n_s
     return 32 if n_s >= _UNROLL_LARGE_MIN_SPHERES else 16
 
 
@@ -196,15 +201,22 @@ def _kernel(n_s: int, n_w: int, n_b: int, wall_base: int, box_base: int):
             )
             return jnp.where(win, t, bt), jnp.where(win, wall_base + n, bi)
 
-        def wall_chunk(k, carry):
-            for u in range(_UNROLL):
-                carry = wall_one(k * _UNROLL + u, carry)
-            return carry
-
+        # Full chunks run under a fori loop; the remainder (the whole
+        # count, for few-wall scenes) unrolls exactly — no padded tests.
         if n_w:
-            best_t, best_i = jax.lax.fori_loop(
-                0, n_w // _UNROLL, wall_chunk, (best_t, best_i)
-            )
+            n_w_full = (n_w // _UNROLL) * _UNROLL
+
+            def wall_chunk(k, carry):
+                for u in range(_UNROLL):
+                    carry = wall_one(k * _UNROLL + u, carry)
+                return carry
+
+            if n_w_full:
+                best_t, best_i = jax.lax.fori_loop(
+                    0, n_w_full // _UNROLL, wall_chunk, (best_t, best_i)
+                )
+            for i in range(n_w_full, n_w):
+                best_t, best_i = wall_one(i, (best_t, best_i))
 
         if n_b:
             # Safe reciprocal direction, hoisted; sign-preserving fill keeps
@@ -235,14 +247,19 @@ def _kernel(n_s: int, n_w: int, n_b: int, wall_base: int, box_base: int):
                 win = (tn <= tf) & (tn > 0.0) & (tn < bt)
                 return jnp.where(win, tn, bt), jnp.where(win, box_base + n, bi)
 
+            n_b_full = (n_b // _UNROLL) * _UNROLL
+
             def box_chunk(k, carry):
                 for u in range(_UNROLL):
                     carry = box_one(k * _UNROLL + u, carry)
                 return carry
 
-            best_t, best_i = jax.lax.fori_loop(
-                0, n_b // _UNROLL, box_chunk, (best_t, best_i)
-            )
+            if n_b_full:
+                best_t, best_i = jax.lax.fori_loop(
+                    0, n_b_full // _UNROLL, box_chunk, (best_t, best_i)
+                )
+            for i in range(n_b_full, n_b):
+                best_t, best_i = box_one(i, (best_t, best_i))
 
         bt_ref[:] = best_t
         bi_ref[:] = best_i
@@ -381,8 +398,8 @@ def _fold_closest_pallas_impl(
         tables,
         rays,
         n_s=counts["n_s_pad"],
-        n_w=counts["n_w_pad"],
-        n_b=counts["n_b_pad"],
+        n_w=counts["n_w"],
+        n_b=counts["n_b"],
         wall_base=counts["n_s"],
         box_base=counts["n_s"] + counts["n_w"],
         interpret=interpret,
@@ -639,7 +656,7 @@ def _shortlist_fold_core(
         ux, uy, uz = sm["ux"], sm["uy"], sm["uz"]
         px, py, pz, ln, wd = sm["px"], sm["py"], sm["pz"], sm["ln"], sm["wd"]
 
-        def wall_one(i, carry):
+        def wall_one(i, carry, gate=None):
             bt, bi = carry
             denom = vdx * nx[i] + vdy * ny[i] + vdz * nz[i]
             num = dpl[i] - (vox * nx[i] + voy * ny[i] + voz * nz[i])
@@ -656,24 +673,35 @@ def _shortlist_fold_core(
                 & (v >= 0.0) & (v <= wd[i])
                 & (tt < bt)
             )
+            if gate is not None:
+                win = win & gate
             return jnp.where(win, tt, bt), jnp.where(win, wall_base + i, bi)
+
+        # Full chunks under an alive-gated fori; the remainder (the whole
+        # count for few-wall scenes — the common case) unrolls exactly.
+        n_w_full = (n_w // _UNROLL) * _UNROLL
 
         def wall_chunk(k, carry):
             for u in range(_UNROLL):
                 carry = wall_one(k * _UNROLL + u, carry)
             return carry
 
-        best_t, best_i = jax.lax.fori_loop(
-            0, jnp.where(alive, n_w // _UNROLL, 0), wall_chunk,
-            (best_t, best_i),
-        )
+        if n_w_full:
+            best_t, best_i = jax.lax.fori_loop(
+                0, jnp.where(alive, n_w_full // _UNROLL, 0), wall_chunk,
+                (best_t, best_i),
+            )
+        for i in range(n_w_full, n_w):
+            # Tile-alive gate replicates the chunked loop's 0-trip skip:
+            # dead tiles keep the miss sentinel (contract pinned by tests).
+            best_t, best_i = wall_one(i, (best_t, best_i), gate=alive)
 
     if n_b:
         bmnx, bmny, bmnz = sm["bmnx"], sm["bmny"], sm["bmnz"]
         bmxx, bmxy, bmxz = sm["bmxx"], sm["bmxy"], sm["bmxz"]
         ivx, ivy, ivz = _srecip(vdx), _srecip(vdy), _srecip(vdz)
 
-        def box_one(i, carry):
+        def box_one(i, carry, gate=None):
             bt, bi = carry
             t1x, t2x = (bmnx[i] - vox) * ivx, (bmxx[i] - vox) * ivx
             t1y, t2y = (bmny[i] - voy) * ivy, (bmxy[i] - voy) * ivy
@@ -687,17 +715,24 @@ def _shortlist_fold_core(
                 jnp.maximum(t1z, t2z),
             )
             win = (tn <= tf) & (tn > 0.0) & (tn < bt)
+            if gate is not None:
+                win = win & gate
             return jnp.where(win, tn, bt), jnp.where(win, box_base + i, bi)
+
+        n_b_full = (n_b // _UNROLL) * _UNROLL
 
         def box_chunk(k, carry):
             for u in range(_UNROLL):
                 carry = box_one(k * _UNROLL + u, carry)
             return carry
 
-        best_t, best_i = jax.lax.fori_loop(
-            0, jnp.where(alive, n_b // _UNROLL, 0), box_chunk,
-            (best_t, best_i),
-        )
+        if n_b_full:
+            best_t, best_i = jax.lax.fori_loop(
+                0, jnp.where(alive, n_b_full // _UNROLL, 0), box_chunk,
+                (best_t, best_i),
+            )
+        for i in range(n_b_full, n_b):
+            best_t, best_i = box_one(i, (best_t, best_i), gate=alive)
 
     # RT_GROUP_FOLD (A/B): ONE tile-level shortlist, but the fold of each
     # listed chunk runs per (8, 128) row GROUP with its own best-t tube
@@ -1059,8 +1094,12 @@ def _regather_core(
                 msp[j], mex[j],
             ))
 
-        acc = jax.lax.fori_loop(0, jnp.where(alive, n_w, 0),
-                                regather_wall, acc)
+        if n_w <= _UNROLL:
+            for i in range(n_w):  # exact — no padded regather sweeps
+                acc = regather_wall(i, acc)
+        else:
+            acc = jax.lax.fori_loop(0, jnp.where(alive, n_w, 0),
+                                    regather_wall, acc)
 
     if n_b:
         def regather_box(i, acc):
@@ -1072,8 +1111,12 @@ def _regather_core(
                 msp[j], mex[j],
             ))
 
-        acc = jax.lax.fori_loop(0, jnp.where(alive, n_b, 0),
-                                regather_box, acc)
+        if n_b <= _UNROLL:
+            for i in range(n_b):
+                acc = regather_box(i, acc)
+        else:
+            acc = jax.lax.fori_loop(0, jnp.where(alive, n_b, 0),
+                                    regather_box, acc)
 
     return acc, hit, is_sphere, is_wall, is_box
 
@@ -2060,7 +2103,7 @@ def _trace_levels_pallas_impl(
         outs = _trace_whole(
             tables, gtables_s, slab_s, (srad,) + mats, light_tbls, sky_tbl,
             rays + (w_live,),
-            n_w=counts_tbl["n_w_pad"], n_b=counts_tbl["n_b_pad"],
+            n_w=counts_tbl["n_w"], n_b=counts_tbl["n_b"],
             wall_base=counts_tbl["n_s"],
             box_base=counts_tbl["n_s"] + counts_tbl["n_w"],
             n_chunks=n_chunks, n_s_pad=n_s_pad, n_w_pad=n_w_pad,
@@ -2154,7 +2197,7 @@ def _trace_levels_pallas_impl(
         outs = _trace_level(
             tables, chunk_list, counts, gtables, slab, (srad,) + mats,
             light_tbls, sky_tbl, rays, state,
-            n_w=counts_tbl["n_w_pad"], n_b=counts_tbl["n_b_pad"],
+            n_w=counts_tbl["n_w"], n_b=counts_tbl["n_b"],
             wall_base=counts_tbl["n_s"],
             box_base=counts_tbl["n_s"] + counts_tbl["n_w"],
             tiles_w=tw_k, n_chunks=n_chunks_eff, n_s_pad=n_s_pad,
@@ -2524,7 +2567,7 @@ def _trace_levels_pallas_bwd_impl(
         outs = _trace_level_bwd(
             tables, chunk_list, counts, (srad,) + mats, light_tbls,
             sky_tbl, level_in, ct3, ct_next,
-            n_w=counts_tbl["n_w_pad"], n_b=counts_tbl["n_b_pad"],
+            n_w=counts_tbl["n_w"], n_b=counts_tbl["n_b"],
             wall_base=wall_base, box_base=box_base,
             n_chunks=n_chunks_eff, n_s_pad=n_s_pad, n_w_pad=n_w_pad,
             n_b_pad=n_b_pad, n_pt=n_pt, n_sun=n_sun,
@@ -3028,7 +3071,7 @@ def _hit_closest_pallas_shortlist_impl(
     outs = _fold_shortlist_hit(
         tables, chunk_list, counts, gtables, slab, (srad,) + mats,
         rays + (act.astype(jnp.float32),),
-        n_w=counts_tbl["n_w_pad"], n_b=counts_tbl["n_b_pad"],
+        n_w=counts_tbl["n_w"], n_b=counts_tbl["n_b"],
         wall_base=counts_tbl["n_s"],
         box_base=counts_tbl["n_s"] + counts_tbl["n_w"],
         tiles_w=tw, n_chunks=n_chunks_eff, n_s_pad=n_s_pad,
@@ -3104,7 +3147,7 @@ def _fold_closest_pallas_shortlist_impl(
     bt, bi = _fold_shortlist(
         tables, chunk_list, counts, gtables, slab,
         rays + (act.astype(jnp.float32),),
-        n_w=counts_tbl["n_w_pad"], n_b=counts_tbl["n_b_pad"],
+        n_w=counts_tbl["n_w"], n_b=counts_tbl["n_b"],
         wall_base=counts_tbl["n_s"],
         box_base=counts_tbl["n_s"] + counts_tbl["n_w"],
         tiles_w=tw, n_chunks=n_chunks_eff, sl_r=sl_r, interpret=interpret,
