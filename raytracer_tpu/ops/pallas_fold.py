@@ -1732,11 +1732,21 @@ def _trace_level(tables, chunk_list, counts, gtables, slab, mats, lights,
 # DMA-pipelined per-level chain (640x640 d10: 4.19 vs 3.59 ms).
 _FUSED_MAX_CHUNKS = int(os.environ.get("RT_FUSED_MAX_CHUNKS", "4"))
 _FUSED_MAX_DEPTH = int(os.environ.get("RT_FUSED_MAX_DEPTH", "4"))
+# Fused TRAINING forward (emit per-level residuals from the whole-trace
+# kernel instead of running the per-level chain); A/B knob.
+_FUSED_RESID = os.environ.get("RT_FUSED_RESID", "1") != "0"
 
 
 def _kernel_trace_whole(n_w: int, n_b: int, wall_base: int, box_base: int,
                         n_chunks: int, n_s_pad: int, n_w_pad: int,
-                        n_pt: int, n_sun: int, depth: int):
+                        n_pt: int, n_sun: int, depth: int,
+                        emit_res: bool = False):
+    """Fused whole-trace kernel; with ``emit_res`` it additionally writes
+    each bounce level's INPUT rays + throughput (7 planes per level k >= 1;
+    level 0's inputs are the caller's own rays) so the TRAINING forward can
+    run fused too — the backward trace kernels consume exactly these
+    residuals. out_refs layout: [ar, ag, ab], (t, i) per level, then (if
+    emit_res) (ox, oy, oz, dx, dy, dz, w) per level 1..depth."""
     def kernel(
         cx, cy, cz, cr2,
         nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz, px, py, pz, ln, wd,
@@ -1778,6 +1788,11 @@ def _kernel_trace_whole(n_w: int, n_b: int, wall_base: int, box_base: int,
 
         for k in range(depth + 1):
             is_last = k == depth
+            if emit_res and k >= 1:
+                res0 = 3 + 2 * (depth + 1) + 7 * (k - 1)
+                for j in range(6):
+                    out_refs[res0 + j][:] = rays6[j]
+                out_refs[res0 + 6][:] = w
 
             def run_level(op, is_last=is_last):
                 rays6, w, acc3 = op
@@ -1832,18 +1847,19 @@ def _kernel_trace_whole(n_w: int, n_b: int, wall_base: int, box_base: int,
     jax.jit,
     static_argnames=("n_w", "n_b", "wall_base", "box_base", "n_chunks",
                      "n_s_pad", "n_w_pad", "n_pt", "n_sun", "depth", "sl_r",
-                     "interpret"),
+                     "emit_res", "interpret"),
 )
 def _trace_whole(tables, gtables, slab, mats, lights, sky, rays, *,
                  n_w: int, n_b: int, wall_base: int, box_base: int,
                  n_chunks: int, n_s_pad: int, n_w_pad: int, n_pt: int,
-                 n_sun: int, depth: int, sl_r: int, interpret: bool):
+                 n_sun: int, depth: int, sl_r: int, emit_res: bool = False,
+                 interpret: bool):
     h, w = rays[0].shape
     grid = (h // sl_r, w // _SL_C)
     spec = pl.BlockSpec(
         (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
     )
-    n_out = 3 + 2 * (depth + 1)
+    n_out = 3 + 2 * (depth + 1) + (7 * depth if emit_res else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=25 + 17 + 9 + 13,
         grid=grid,
@@ -1854,8 +1870,9 @@ def _trace_whole(tables, gtables, slab, mats, lights, sky, rays, *,
     i32 = _out_struct((h, w), jnp.int32, rays[0])
     return pl.pallas_call(
         _kernel_trace_whole(n_w, n_b, wall_base, box_base, n_chunks,
-                            n_s_pad, n_w_pad, n_pt, n_sun, depth),
-        out_shape=(f32, f32, f32) + (f32, i32) * (depth + 1),
+                            n_s_pad, n_w_pad, n_pt, n_sun, depth, emit_res),
+        out_shape=(f32, f32, f32) + (f32, i32) * (depth + 1)
+        + ((f32,) * 6 + (f32,)) * (depth if emit_res else 0),
         grid_spec=grid_spec,
         interpret=interpret,
     )(*tables, *gtables, slab, *mats, *lights, sky, *rays)
@@ -2096,9 +2113,13 @@ def _trace_levels_pallas_impl(
 
     # Fused whole-trace kernel for identity-shortlist scenes (see
     # _FUSED_MAX_CHUNKS): every level in one kernel, zero inter-level HBM.
+    # With residuals it additionally streams out each bounce level's input
+    # rays/throughput so the TRAINING forward runs fused too — the backward
+    # trace kernels consume these with identity per-tile shortlists.
     if (
-        not with_residuals and 1 <= depth <= _FUSED_MAX_DEPTH
+        1 <= depth <= _FUSED_MAX_DEPTH
         and _SLICES == 1 and not pm and 0 < n_chunks <= _FUSED_MAX_CHUNKS
+        and (not with_residuals or _FUSED_RESID)
     ):
         outs = _trace_whole(
             tables, gtables_s, slab_s, (srad,) + mats, light_tbls, sky_tbl,
@@ -2108,8 +2129,35 @@ def _trace_levels_pallas_impl(
             box_base=counts_tbl["n_s"] + counts_tbl["n_w"],
             n_chunks=n_chunks, n_s_pad=n_s_pad, n_w_pad=n_w_pad,
             n_pt=n_pt, n_sun=n_sun, depth=depth, sl_r=sl_r,
-            interpret=interpret,
+            emit_res=with_residuals, interpret=interpret,
         )
+
+        if with_residuals:
+            # Backward consumes the PADDED planes + per-level shortlists;
+            # the fused fold walked the identity chunk list, so the
+            # residual shortlists are identity lists over every tile.
+            ar, ag, ab = outs[0:3]
+            ts = [outs[3 + 2 * k] for k in range(depth + 1)]
+            idxs = [outs[4 + 2 * k] for k in range(depth + 1)]
+            res0 = 3 + 2 * (depth + 1)
+            rays_levels = [rays] + [
+                tuple(outs[res0 + 7 * (k - 1) + j] for j in range(6))
+                for k in range(1, depth + 1)
+            ]
+            w_levels = [w_live] + [
+                outs[res0 + 7 * (k - 1) + 6] for k in range(1, depth + 1)
+            ]
+            th, tw = hp // sl_r, wp // _SL_C
+            chunk_list = jnp.broadcast_to(
+                jnp.arange(n_chunks, dtype=jnp.int32),
+                (th * tw * _SLICES, n_chunks),
+            ).reshape(-1)
+            counts = jnp.full((th * tw * _SLICES,), n_chunks, jnp.int32)
+            sl_levels = [(chunk_list, counts, sl_r)] * (depth + 1)
+            acc = V3(
+                ar[:h, :w], ag[:h, :w], ab[:h, :w]
+            ) if (hp != h or wp != w) else V3(ar, ag, ab)
+            return acc, ts, idxs, rays_levels, w_levels, sl_levels
 
         def crop(x):
             return x[:h, :w] if (hp != h or wp != w) else x
