@@ -1727,11 +1727,13 @@ def _trace_level(tables, chunk_list, counts, gtables, slab, mats, lights,
 # boundary), and tiles whose lanes all died (sky) cond-skip whole levels
 # INCLUDING the shading/reflection math the per-level kernels always
 # executed. Measured (v5e, 2026-08-20): demo 1080p d3 4.14 -> 3.34 ms,
-# grid-64 1080p d3 11.85 -> 9.39 ms. Depth-capped: at d10 the fused
-# form's 11 dependent cond-wrapped levels per tile LOSE to the
-# DMA-pipelined per-level chain (640x640 d10: 4.19 vs 3.59 ms).
+# grid-64 1080p d3 11.85 -> 9.39 ms. The depth cap was 4 when the
+# padded-count fold made deep cond-wrapped level chains expensive
+# (640x640 d10 fused lost 4.19 vs 3.59); after the exact-count fold the
+# balance flipped (d10 fused WINS 2.53 vs 3.44 ms) — cap now 10, the
+# reference's own maximum recursion depth (main.cpp:23).
 _FUSED_MAX_CHUNKS = int(os.environ.get("RT_FUSED_MAX_CHUNKS", "4"))
-_FUSED_MAX_DEPTH = int(os.environ.get("RT_FUSED_MAX_DEPTH", "4"))
+_FUSED_MAX_DEPTH = int(os.environ.get("RT_FUSED_MAX_DEPTH", "10"))
 # Fused TRAINING forward (emit per-level residuals from the whole-trace
 # kernel instead of running the per-level chain); A/B knob.
 _FUSED_RESID = os.environ.get("RT_FUSED_RESID", "1") != "0"
