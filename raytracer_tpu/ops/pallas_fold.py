@@ -23,6 +23,7 @@ differentiable path re-evaluates the winner's t outside (ops/trace.py's
 
 from __future__ import annotations
 
+import contextvars
 import functools
 import os
 
@@ -49,12 +50,14 @@ _TILE_ROWS = 256  # rays per tile = 256 x 128 = 32768; carries stay in VMEM
 # (2026-08-19, grid-1024 1080p d3, v5e): 16 -> 60.4 ms, 32 -> 58.3, 64 ->
 # 69.6; but 32 costs the 3-prim demo +1 ms/frame (a 32-wide chunk is 31
 # pad entries there), so small scenes keep 16. The active value is set per
-# trace by `_use_unroll` (entry points), keyed on the sphere count —
-# deterministic per scene size, so jit caches stay consistent (table/
-# chunk-count static args differ whenever the unroll differs).
-# RT_FOLD_UNROLL overrides for process-per-config sweeps (jit caches don't
-# key on module constants, so in-process sweeps silently reuse compile #1).
-_UNROLL = 16
+# trace by `_use_unroll` (entry points), keyed on the sphere count, and
+# carried in a ContextVar — NOT a module global — so concurrent traces
+# (threads, nested builds of different scenes) can never observe each
+# other's chunk size (VERDICT r4 weak item 3). Every jitted entry that
+# reads the config takes it as an explicit static `cfg` arg (via
+# `_jit_cfg`) so jit caches key on it (two scenes with identical padded
+# table shapes but different chunk sizes compile separately).
+# RT_FOLD_UNROLL overrides for process-per-config sweeps.
 _UNROLL_LARGE_MIN_SPHERES = 256
 
 
@@ -71,7 +74,7 @@ def _resolve_unroll(n_s: int) -> int:
 
 
 def _resolve_gate_geom(n_s: int, unroll: int) -> str:
-    """Chunk-gate geometry for this scene size (see `_GATE_GEOM`).
+    """Chunk-gate geometry for this scene size (see `_gate_geom()`).
 
     "auto": AABB slab gates for multi-chunk scenes (32 spread spheres make
     the circumscribing+member-reach bounding sphere much looser than the
@@ -87,24 +90,75 @@ def _resolve_gate_geom(n_s: int, unroll: int) -> str:
     return "aabb" if n_chunks >= 2 else "sphere"
 
 
+# The active (chunk size, gate geometry) for the current trace build.
+# ContextVar, not a module global: per-thread / per-context, so two
+# interleaved builds of different scenes each see their own value
+# (tests/test_pallas_fold.py::test_interleaved_scene_builds).
+_fold_cfg = contextvars.ContextVar("rt_fold_cfg", default=(16, "aabb"))
+
+
+def _unroll() -> int:
+    """Spheres per fold chunk for the build in progress."""
+    return _fold_cfg.get()[0]
+
+
+def _gate_geom() -> str:
+    """Chunk-gate geometry ("aabb"|"sphere") for the build in progress."""
+    return _fold_cfg.get()[1]
+
+
+def _cfg_key() -> tuple:
+    """The hashable (unroll, gate_geom) pair jitted entries key on."""
+    return _fold_cfg.get()
+
+
 class _use_unroll:
     """Set the active chunk size + gate geometry for one trace build."""
 
     def __init__(self, n_spheres: int):
-        self._n = _resolve_unroll(n_spheres)
-        self._geom = _resolve_gate_geom(n_spheres, self._n)
+        n = _resolve_unroll(n_spheres)
+        self._cfg = (n, _resolve_gate_geom(n_spheres, n))
 
     def __enter__(self):
-        global _UNROLL, _GATE_GEOM
-        self._old = _UNROLL
-        self._old_geom = _GATE_GEOM
-        _UNROLL = self._n
-        _GATE_GEOM = self._geom
+        self._tok = _fold_cfg.set(self._cfg)
 
     def __exit__(self, *a):
-        global _UNROLL, _GATE_GEOM
-        _UNROLL = self._old
-        _GATE_GEOM = self._old_geom
+        _fold_cfg.reset(self._tok)
+
+
+def _jit_cfg(**jit_kwargs):
+    """`jax.jit` whose cache keys on the fold config.
+
+    Wraps the function so it REQUIRES a static ``cfg=(unroll, gate_geom)``
+    kwarg (pass ``cfg=_cfg_key()``) and traces its body under that config —
+    the body and every helper it calls read the ContextVar, so the traced
+    program always matches the cfg in the jit cache key. Without this, two
+    scenes whose padded table shapes coincide but whose chunk sizes differ
+    would silently share one compiled executable (the CLAUDE.md "jit caches
+    don't key on module constants" trap, previously only avoidable with
+    process-per-config sweeps)."""
+    names = tuple(jit_kwargs.pop("static_argnames"))
+
+    def deco(f):
+        # NOT functools.wraps: jax.jit resolves argnames through
+        # __wrapped__, which would hide the added `cfg` kwarg.
+        def with_cfg(*args, cfg, **kwargs):
+            tok = _fold_cfg.set(cfg)
+            try:
+                return f(*args, **kwargs)
+            finally:
+                _fold_cfg.reset(tok)
+
+        def set_meta(f):
+            with_cfg.__name__ = f.__name__ + "_cfg"
+            with_cfg.__qualname__ = f.__qualname__ + "_cfg"
+
+        set_meta(f)
+        return jax.jit(
+            with_cfg, static_argnames=(*names, "cfg"), **jit_kwargs
+        )
+
+    return deco
 
 
 def pallas_available() -> bool:
@@ -127,7 +181,7 @@ def _out_struct(shape, dtype, ref):
 def _kernel(n_s: int, n_w: int, n_b: int, wall_base: int, box_base: int):
     """Build the fold kernel for a (sphere-count, wall-count) configuration.
 
-    ``n_s``/``n_w``/``n_b`` are the padded table sizes (multiples of _UNROLL;
+    ``n_s``/``n_w``/``n_b`` are the padded table sizes (multiples of _unroll();
     pad entries are guaranteed misses); ``wall_base``/``box_base`` are the
     REAL primitive-count offsets so winners carry the global indices
     ``gather_hit`` expects.
@@ -168,15 +222,15 @@ def _kernel(n_s: int, n_w: int, n_b: int, wall_base: int, box_base: int):
             return jnp.where(win, t, bt), jnp.where(win, n, bi)
 
         # Mosaic only supports unroll=1 fori_loops; unroll by hand over
-        # _UNROLL-primitive chunks (tables are padded to a multiple).
+        # _unroll()-primitive chunks (tables are padded to a multiple).
         def sphere_chunk(k, carry):
-            for u in range(_UNROLL):
-                carry = sphere_one(k * _UNROLL + u, carry)
+            for u in range(_unroll()):
+                carry = sphere_one(k * _unroll() + u, carry)
             return carry
 
         if n_s:
             best_t, best_i = jax.lax.fori_loop(
-                0, n_s // _UNROLL, sphere_chunk, (best_t, best_i)
+                0, n_s // _unroll(), sphere_chunk, (best_t, best_i)
             )
 
         def wall_one(n, carry):
@@ -204,16 +258,16 @@ def _kernel(n_s: int, n_w: int, n_b: int, wall_base: int, box_base: int):
         # Full chunks run under a fori loop; the remainder (the whole
         # count, for few-wall scenes) unrolls exactly — no padded tests.
         if n_w:
-            n_w_full = (n_w // _UNROLL) * _UNROLL
+            n_w_full = (n_w // _unroll()) * _unroll()
 
             def wall_chunk(k, carry):
-                for u in range(_UNROLL):
-                    carry = wall_one(k * _UNROLL + u, carry)
+                for u in range(_unroll()):
+                    carry = wall_one(k * _unroll() + u, carry)
                 return carry
 
             if n_w_full:
                 best_t, best_i = jax.lax.fori_loop(
-                    0, n_w_full // _UNROLL, wall_chunk, (best_t, best_i)
+                    0, n_w_full // _unroll(), wall_chunk, (best_t, best_i)
                 )
             for i in range(n_w_full, n_w):
                 best_t, best_i = wall_one(i, (best_t, best_i))
@@ -247,16 +301,16 @@ def _kernel(n_s: int, n_w: int, n_b: int, wall_base: int, box_base: int):
                 win = (tn <= tf) & (tn > 0.0) & (tn < bt)
                 return jnp.where(win, tn, bt), jnp.where(win, box_base + n, bi)
 
-            n_b_full = (n_b // _UNROLL) * _UNROLL
+            n_b_full = (n_b // _unroll()) * _unroll()
 
             def box_chunk(k, carry):
-                for u in range(_UNROLL):
-                    carry = box_one(k * _UNROLL + u, carry)
+                for u in range(_unroll()):
+                    carry = box_one(k * _unroll() + u, carry)
                 return carry
 
             if n_b_full:
                 best_t, best_i = jax.lax.fori_loop(
-                    0, n_b_full // _UNROLL, box_chunk, (best_t, best_i)
+                    0, n_b_full // _unroll(), box_chunk, (best_t, best_i)
                 )
             for i in range(n_b_full, n_b):
                 best_t, best_i = box_one(i, (best_t, best_i))
@@ -267,10 +321,7 @@ def _kernel(n_s: int, n_w: int, n_b: int, wall_base: int, box_base: int):
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_s", "n_w", "n_b", "wall_base", "box_base", "interpret"),
-)
+@_jit_cfg(static_argnames=("n_s", "n_w", "n_b", "wall_base", "box_base", "interpret"))
 def _fold_flat(tables, rays, *, n_s: int, n_w: int, n_b: int, wall_base: int,
                box_base: int, interpret: bool):
     """Run the kernel over a flat padded ray batch ``[M, 128]`` x 6."""
@@ -339,9 +390,9 @@ def _packed_fold_tables(scene: Scene):
         return jnp.concatenate([t, jnp.full((size - n,), fill, jnp.float32)])
 
     n_s, n_w, n_b = len(s), len(scene.walls), len(scene.boxes)
-    n_s_pad = max(_UNROLL, -(-n_s // _UNROLL) * _UNROLL)
-    n_w_pad = max(_UNROLL, -(-n_w // _UNROLL) * _UNROLL)
-    n_b_pad = max(_UNROLL, -(-n_b // _UNROLL) * _UNROLL)
+    n_s_pad = max(_unroll(), -(-n_s // _unroll()) * _unroll())
+    n_w_pad = max(_unroll(), -(-n_w // _unroll()) * _unroll())
+    n_b_pad = max(_unroll(), -(-n_b // _unroll()) * _unroll())
     tables = (
         tuple(
             pad_table(t, n_s_pad, 1e30 if i == 3 else 0.0)
@@ -403,6 +454,7 @@ def _fold_closest_pallas_impl(
         wall_base=counts["n_s"],
         box_base=counts["n_s"] + counts["n_w"],
         interpret=interpret,
+        cfg=_cfg_key(),
     )
     bt = bt.reshape(-1)[:p].reshape(shape)
     bi = bi.reshape(-1)[:p].reshape(shape)
@@ -526,8 +578,8 @@ _GROUP_ROWS = int(os.environ.get("RT_GROUP_ROWS", "8"))
 # Bit-exact either way: both gates only skip chunks no live segment can
 # touch (inflated by the same pads phase A uses). The ACTIVE value is set
 # per scene by `_use_unroll` via `_resolve_gate_geom` (RT_GATE_GEOM env:
-# auto | aabb | sphere).
-_GATE_GEOM = "aabb"
+# auto | aabb | sphere) and read via `_gate_geom()` (ContextVar — see the
+# `_fold_cfg` block at the top of the file).
 # Row-sorted bounce traversal: at bounce levels of the per-level path,
 # re-layout the frame into ROWS of 128 horizontally adjacent pixels
 # ([hp, wp] -> [hp * wp/128, 128], a pure reshape) and re-SORT the rows
@@ -614,7 +666,7 @@ def _shortlist_fold_core(
     gx, gy, gz, gg, gr2 = sm["gx"], sm["gy"], sm["gz"], sm["gg"], sm["gr2"]
     sgx, sgy, sgz = sm["sgx"], sm["sgy"], sm["sgz"]
     sgg, sgr2 = sm["sgg"], sm["sgr2"]
-    n_sub = _UNROLL // _SUB if _UNROLL > _SUB else 1
+    n_sub = _unroll() // _SUB if _unroll() > _SUB else 1
     # counts_val (traced i32): in-kernel override for fused whole-trace
     # calls — the shortlist is the identity (chunk k = k) and liveness is
     # computed from the level's in-VMEM throughput, not phase A.
@@ -679,16 +731,16 @@ def _shortlist_fold_core(
 
         # Full chunks under an alive-gated fori; the remainder (the whole
         # count for few-wall scenes — the common case) unrolls exactly.
-        n_w_full = (n_w // _UNROLL) * _UNROLL
+        n_w_full = (n_w // _unroll()) * _unroll()
 
         def wall_chunk(k, carry):
-            for u in range(_UNROLL):
-                carry = wall_one(k * _UNROLL + u, carry)
+            for u in range(_unroll()):
+                carry = wall_one(k * _unroll() + u, carry)
             return carry
 
         if n_w_full:
             best_t, best_i = jax.lax.fori_loop(
-                0, jnp.where(alive, n_w_full // _UNROLL, 0), wall_chunk,
+                0, jnp.where(alive, n_w_full // _unroll(), 0), wall_chunk,
                 (best_t, best_i),
             )
         for i in range(n_w_full, n_w):
@@ -719,16 +771,16 @@ def _shortlist_fold_core(
                 win = win & gate
             return jnp.where(win, tn, bt), jnp.where(win, box_base + i, bi)
 
-        n_b_full = (n_b // _UNROLL) * _UNROLL
+        n_b_full = (n_b // _unroll()) * _unroll()
 
         def box_chunk(k, carry):
-            for u in range(_UNROLL):
-                carry = box_one(k * _UNROLL + u, carry)
+            for u in range(_unroll()):
+                carry = box_one(k * _unroll() + u, carry)
             return carry
 
         if n_b_full:
             best_t, best_i = jax.lax.fori_loop(
-                0, jnp.where(alive, n_b_full // _UNROLL, 0), box_chunk,
+                0, jnp.where(alive, n_b_full // _unroll(), 0), box_chunk,
                 (best_t, best_i),
             )
         for i in range(n_b_full, n_b):
@@ -780,7 +832,7 @@ def _shortlist_fold_core(
                 return okq & (t1 >= t0q) & (dist2 <= gr2[c])
 
             def fold_chunk(base, cr):
-                for u in range(_UNROLL):
+                for u in range(_unroll()):
                     cr = sphere_one(base + u, cr)
                 return cr
 
@@ -790,7 +842,7 @@ def _shortlist_fold_core(
 
         def chunk_body(k, carry):
             c = k if counts_val is not None else chunk_list[list_base + k]
-            base = c * _UNROLL
+            base = c * _unroll()
             out = []
             for q in range(n_grp):
                 reach, fold_chunk = grp_ops[q]
@@ -852,9 +904,9 @@ def _shortlist_fold_core(
             dist2 = oo_s - 2.0 * m_g + tg[i] + tc * (2.0 * (do_s - s_g) + tc)
             return ok_s & (t1 >= t0_s) & (dist2 <= tr2[i])
 
-        if _GATE_GEOM == "aabb":
+        if _gate_geom() == "aabb":
             # Chunk-AABB slab test over the same live segment (see
-            # `_GATE_GEOM`); reciprocal directions hoisted out of the
+            # `_gate_geom()`); reciprocal directions hoisted out of the
             # chunk loop.
             alx, aly, alz = sm["alx"], sm["aly"], sm["alz"]
             ahx, ahy, ahz = sm["ahx"], sm["ahy"], sm["ahz"]
@@ -891,11 +943,11 @@ def _shortlist_fold_core(
         def chunk_body(k, carry):
             bt, bi = carry
             c = k if counts_val is not None else chunk_list[list_base + k]
-            base = c * _UNROLL
+            base = c * _unroll()
 
             def do_chunk(cr):
                 if not (_SUB_GATE and _TUBE_GATE) or n_sub == 1:
-                    for u in range(_UNROLL):
+                    for u in range(_unroll()):
                         cr = sphere_one(base + u, cr)
                     return cr
                 # Sub-chunk best-t tube gates: best_t keeps tightening as
@@ -1056,13 +1108,13 @@ def _regather_core(
 
         def regather_chunk(k, acc):
             c = k if counts_val is not None else chunk_list[list_base + k]
-            base = c * _UNROLL
+            base = c * _unroll()
             in_chunk = (
-                is_sphere_s & (best_i_s >= base) & (best_i_s < base + _UNROLL)
+                is_sphere_s & (best_i_s >= base) & (best_i_s < base + _unroll())
             )
 
             def do_chunk(acc):
-                for u in range(_UNROLL):
+                for u in range(_unroll()):
                     idx = base + u
                     m = is_sphere & (best_i == idx)
                     acc = pick_one(acc, m, (
@@ -1094,7 +1146,7 @@ def _regather_core(
                 msp[j], mex[j],
             ))
 
-        if n_w <= _UNROLL:
+        if n_w <= _unroll():
             for i in range(n_w):  # exact — no padded regather sweeps
                 acc = regather_wall(i, acc)
         else:
@@ -1111,7 +1163,7 @@ def _regather_core(
                 msp[j], mex[j],
             ))
 
-        if n_b <= _UNROLL:
+        if n_b <= _unroll():
             for i in range(n_b):
                 acc = regather_box(i, acc)
         else:
@@ -1463,13 +1515,13 @@ def _reach_stats_rows(slab, ox, oy, oz, dx, dy, dz, w_alive,
         gx, gy, gz, gg, gr2, alx, aly, alz, ahx, ahy, ahz = gt
         oo = ox * ox + oy * oy + oz * oz
         do = dx * ox + dy * oy + dz * oz
-        if _GATE_GEOM == "aabb":
+        if _gate_geom() == "aabb":
             ivx, ivy, ivz = _srecip(dx), _srecip(dy), _srecip(dz)
         for c in range(n_chunks):
             # Same test as _shortlist_fold_core's in-kernel gate (per
-            # _GATE_GEOM), with best_t unknown (t_exn clip only) —
+            # _gate_geom()), with best_t unknown (t_exn clip only) —
             # strictly conservative.
-            if _GATE_GEOM == "aabb":
+            if _gate_geom() == "aabb":
                 t1x, t2x = (alx[c] - ox) * ivx, (ahx[c] - ox) * ivx
                 t1y, t2y = (aly[c] - oy) * ivy, (ahy[c] - oy) * ivy
                 t1z, t2z = (alz[c] - oz) * ivz, (ahz[c] - oz) * ivz
@@ -1539,7 +1591,7 @@ def _kernel_ray_stats(n_chunks: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("sl_r", "n_chunks", "interpret"))
+@_jit_cfg(static_argnames=("sl_r", "n_chunks", "interpret"))
 def _ray_stats(slab, rays, amask, gtables=None, *, sl_r: int,
                n_chunks: int = 0, interpret: bool):
     """Per-tile reach stats [th, tw, 8, _SL_C] from a padded ray batch.
@@ -1679,12 +1731,9 @@ def _kernel_trace_level(n_w: int, n_b: int, wall_base: int, box_base: int,
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_w", "n_b", "wall_base", "box_base", "tiles_w",
+@_jit_cfg(static_argnames=("n_w", "n_b", "wall_base", "box_base", "tiles_w",
                      "n_chunks", "n_s_pad", "n_w_pad", "n_pt", "n_sun",
-                     "is_last", "emit_stats", "sl_r", "interpret"),
-)
+                     "is_last", "emit_stats", "sl_r", "interpret"))
 def _trace_level(tables, chunk_list, counts, gtables, slab, mats, lights,
                  sky, rays, state, *, n_w: int, n_b: int, wall_base: int,
                  box_base: int, tiles_w: int, n_chunks: int, n_s_pad: int,
@@ -1845,12 +1894,9 @@ def _kernel_trace_whole(n_w: int, n_b: int, wall_base: int, box_base: int,
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_w", "n_b", "wall_base", "box_base", "n_chunks",
+@_jit_cfg(static_argnames=("n_w", "n_b", "wall_base", "box_base", "n_chunks",
                      "n_s_pad", "n_w_pad", "n_pt", "n_sun", "depth", "sl_r",
-                     "emit_res", "interpret"),
-)
+                     "emit_res", "interpret"))
 def _trace_whole(tables, gtables, slab, mats, lights, sky, rays, *,
                  n_w: int, n_b: int, wall_base: int, box_base: int,
                  n_chunks: int, n_s_pad: int, n_w_pad: int, n_pt: int,
@@ -1988,7 +2034,7 @@ def _row_sort_order(i_prev, rays6, w, n_chunks: int, wall_base: int):
     dx, dy, dz = sg(rays6[3]), sg(rays6[4]), sg(rays6[5])
     live = w > 0.0
     is_s = (i_prev >= 0) & (i_prev < wall_base) & live
-    ch = jnp.where(is_s, i_prev // _UNROLL, n_chunks)
+    ch = jnp.where(is_s, i_prev // _unroll(), n_chunks)
     cnt = jnp.stack(
         [jnp.sum(ch == c, axis=1, dtype=jnp.int32) for c in range(n_chunks)],
         axis=1,
@@ -2048,7 +2094,7 @@ def _trace_levels_pallas_impl(
     # 48.5 -> 47.7 ms, c5 4K d4 208.8 -> 204.7); small scenes keep the
     # 64-row tile (the fused/demo class loses with 32: c3 4.24 -> 4.40).
     n_s_est = len(scene.spheres)
-    n_chunks_est = -(-n_s_est // _UNROLL) if n_s_est else 0
+    n_chunks_est = -(-n_s_est // _unroll()) if n_s_est else 0
     sl_r = _check_sl_r(
         _SL_R_BOUNCE if n_chunks_est >= _SL_R_MATCH_MIN_CHUNKS else _SL_R
     )
@@ -2084,7 +2130,7 @@ def _trace_levels_pallas_impl(
     tables, counts_tbl = _packed_fold_tables(scene)
     srad, mats, n_s_pad, n_w_pad = _packed_mat_tables(scene, counts_tbl)
     th, tw = hp // sl_r, wp // _SL_C
-    n_chunks = counts_tbl["n_s_pad"] // _UNROLL if counts_tbl["n_s_pad"] else 0
+    n_chunks = counts_tbl["n_s_pad"] // _unroll() if counts_tbl["n_s_pad"] else 0
 
     light_tbls, sky_tbl, n_pt, n_sun = _light_sky_tables(scene)
 
@@ -2132,6 +2178,7 @@ def _trace_levels_pallas_impl(
             n_chunks=n_chunks, n_s_pad=n_s_pad, n_w_pad=n_w_pad,
             n_pt=n_pt, n_sun=n_sun, depth=depth, sl_r=sl_r,
             emit_res=with_residuals, interpret=interpret,
+            cfg=_cfg_key(),
         )
 
         if with_residuals:
@@ -2258,6 +2305,7 @@ def _trace_levels_pallas_impl(
                 and (sl_rb == sl_r if not pm else k >= 1)
             ),
             interpret=interpret,
+            cfg=_cfg_key(),
         )
         t_k, i_k, ar, ag, ab, w_k = outs[:6]
         rays = tuple(outs[6:12])
@@ -2429,15 +2477,15 @@ def _kernel_trace_level_bwd(n_w: int, n_b: int, wall_base: int,
 
             def scatter_chunk(k, carry):
                 c = sm["chunk_list"][list_base + k]
-                base = c * _UNROLL
+                base = c * _unroll()
                 in_chunk = (
                     is_sphere_s & (i_sel_s >= base)
-                    & (i_sel_s < base + _UNROLL)
+                    & (i_sel_s < base + _unroll())
                 )
 
                 @pl.when(jnp.any(in_chunk))
                 def _():
-                    for u in range(_UNROLL):
+                    for u in range(_unroll()):
                         idx = base + u
                         m = is_sphere_s & (i_sel_s == idx)
                         mf = m.astype(jnp.float32)
@@ -2504,12 +2552,9 @@ def _kernel_trace_level_bwd(n_w: int, n_b: int, wall_base: int,
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_w", "n_b", "wall_base", "box_base", "n_chunks",
+@_jit_cfg(static_argnames=("n_w", "n_b", "wall_base", "box_base", "n_chunks",
                      "n_s_pad", "n_w_pad", "n_b_pad", "n_pt", "n_sun",
-                     "is_last", "sl_r", "interpret"),
-)
+                     "is_last", "sl_r", "interpret"))
 def _trace_level_bwd(tables, chunk_list, counts, mats, lights, sky,
                      level_in, ct_acc, ct_next, *,
                      n_w: int, n_b: int, wall_base: int, box_base: int,
@@ -2588,7 +2633,7 @@ def _trace_levels_pallas_bwd_impl(
     n_s = counts_tbl["n_s"]
     n_w_real, n_b_real = counts_tbl["n_w"], counts_tbl["n_b"]
     wall_base, box_base = n_s, n_s + n_w_real
-    n_chunks = counts_tbl["n_s_pad"] // _UNROLL if counts_tbl["n_s_pad"] else 0
+    n_chunks = counts_tbl["n_s_pad"] // _unroll() if counts_tbl["n_s_pad"] else 0
     n_chunks_eff = n_chunks if n_chunks else 1
 
     def prep_ct(c):
@@ -2622,6 +2667,7 @@ def _trace_levels_pallas_bwd_impl(
             n_chunks=n_chunks_eff, n_s_pad=n_s_pad, n_w_pad=n_w_pad,
             n_b_pad=n_b_pad, n_pt=n_pt, n_sun=n_sun,
             is_last=(k == depth), sl_r=sl_k, interpret=interpret,
+            cfg=_cfg_key(),
         )
         ct_rays = outs[0:6]
         ct_w_in = outs[6]
@@ -2685,11 +2731,8 @@ def _trace_levels_pallas_bwd_impl(
     return scene_ct, ct_o, ct_d
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_w", "n_b", "wall_base", "box_base", "tiles_w",
-                     "n_chunks", "n_s_pad", "n_w_pad", "sl_r", "interpret"),
-)
+@_jit_cfg(static_argnames=("n_w", "n_b", "wall_base", "box_base", "tiles_w",
+                     "n_chunks", "n_s_pad", "n_w_pad", "sl_r", "interpret"))
 def _fold_shortlist_hit(tables, chunk_list, counts, gtables, slab, mats,
                         rays, *, n_w: int, n_b: int, wall_base: int,
                         box_base: int, tiles_w: int, n_chunks: int,
@@ -2716,11 +2759,8 @@ def _fold_shortlist_hit(tables, chunk_list, counts, gtables, slab, mats,
     )(*tables, chunk_list, counts, *gtables, slab, *mats, *rays)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_w", "n_b", "wall_base", "box_base", "tiles_w",
-                     "n_chunks", "sl_r", "interpret"),
-)
+@_jit_cfg(static_argnames=("n_w", "n_b", "wall_base", "box_base", "tiles_w",
+                     "n_chunks", "sl_r", "interpret"))
 def _fold_shortlist(tables, chunk_list, counts, gtables, slab, rays, *,
                     n_w: int, n_b: int, wall_base: int, box_base: int,
                     tiles_w: int, n_chunks: int, sl_r: int, interpret: bool):
@@ -2774,15 +2814,15 @@ def _chunk_culling_tables(scene: Scene, n_chunks: int):
     lo = jnp.min(s.center - s.radius[:, None], axis=0) - _AABB_PAD
     hi = jnp.max(s.center + s.radius[:, None], axis=0) + _AABB_PAD
 
-    pad = n_chunks * _UNROLL - n_s
-    real = jnp.arange(n_chunks * _UNROLL) < n_s
+    pad = n_chunks * _unroll() - n_s
+    real = jnp.arange(n_chunks * _unroll()) < n_s
 
     def padded(x, fill):
         if pad:
             x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
-        return x.reshape(n_chunks, _UNROLL)
+        return x.reshape(n_chunks, _unroll())
 
-    real_m = real.reshape(n_chunks, _UNROLL)
+    real_m = real.reshape(n_chunks, _unroll())
     c_lo, c_hi = [], []
     for k in range(3):
         cmin = jnp.where(real_m, padded(s.center[:, k] - s.radius, 0.0), BIG)
@@ -2809,7 +2849,7 @@ def _chunk_culling_tables(scene: Scene, n_chunks: int):
     # Sub-chunk (8-sphere) bounding spheres for the in-chunk gates — same
     # construction at _SUB granularity. Pad-only sub-chunks get r2 = -1 so
     # their folds (the pad tail of the last chunk) are skipped for free.
-    n_sub = _UNROLL // _SUB if _UNROLL > _SUB else 1
+    n_sub = _unroll() // _SUB if _unroll() > _SUB else 1
     if n_sub > 1:
         def padded_s(x, fill):
             if pad:
@@ -2841,7 +2881,7 @@ def _chunk_culling_tables(scene: Scene, n_chunks: int):
         sgx = sgy = sgz = sgg = jnp.zeros((1,), jnp.float32)
         sgr2 = jnp.full((1,), -1.0, jnp.float32)
     # Chunk AABBs ride along for the in-kernel "aabb" gate geometry
-    # (_GATE_GEOM); already inflated by _AABB_PAD above, and empty-pad
+    # (_gate_geom()); already inflated by _AABB_PAD above, and empty-pad
     # chunks have lo > hi so the slab test always rejects them.
     gtables = (gx, gy, gz, gx * gx + gy * gy + gz * gz, gr2,
                sgx, sgy, sgz, sgg, sgr2,
@@ -2939,7 +2979,7 @@ def _shortlist_phase_a(scene: Scene, rays, act, th: int, tw: int,
             slab, rays, act.astype(jnp.float32),
             (gtables[:5] + gtables[10:16]) if with_reach else None,
             sl_r=sl_r, n_chunks=n_chunks if with_reach else 0,
-            interpret=False,
+            interpret=False, cfg=_cfg_key(),
         )
         stats = _stats_to_phase_a(s_all)
         chunk_list, counts = _phase_a_from_stats(
@@ -3101,7 +3141,7 @@ def _hit_closest_pallas_shortlist_impl(
     tables, counts_tbl = _packed_fold_tables(scene)
     srad, mats, n_s_pad, n_w_pad = _packed_mat_tables(scene, counts_tbl)
     th, tw = hp // sl_r, wp // _SL_C
-    n_chunks = counts_tbl["n_s_pad"] // _UNROLL if counts_tbl["n_s_pad"] else 0
+    n_chunks = counts_tbl["n_s_pad"] // _unroll() if counts_tbl["n_s_pad"] else 0
 
     if n_chunks == 0:
         alive = _slice_reduce(act, th, tw, jnp.any, sl_r)
@@ -3126,6 +3166,7 @@ def _hit_closest_pallas_shortlist_impl(
         box_base=counts_tbl["n_s"] + counts_tbl["n_w"],
         tiles_w=tw, n_chunks=n_chunks_eff, n_s_pad=n_s_pad,
         n_w_pad=n_w_pad, sl_r=sl_r, interpret=interpret,
+        cfg=_cfg_key(),
     )
     if hp != h or wp != w:
         outs = tuple(x[:h, :w] for x in outs)
@@ -3176,7 +3217,7 @@ def _fold_closest_pallas_shortlist_impl(
 
     tables, counts_tbl = _packed_fold_tables(scene)
     th, tw = hp // sl_r, wp // _SL_C
-    n_chunks = counts_tbl["n_s_pad"] // _UNROLL if counts_tbl["n_s_pad"] else 0
+    n_chunks = counts_tbl["n_s_pad"] // _unroll() if counts_tbl["n_s_pad"] else 0
 
     if n_chunks == 0:
         # No spheres: every tile folds walls/boxes brute-force (alive gate).
@@ -3201,6 +3242,7 @@ def _fold_closest_pallas_shortlist_impl(
         wall_base=counts_tbl["n_s"],
         box_base=counts_tbl["n_s"] + counts_tbl["n_w"],
         tiles_w=tw, n_chunks=n_chunks_eff, sl_r=sl_r, interpret=interpret,
+        cfg=_cfg_key(),
     )
     if hp != h or wp != w:
         bt, bi = bt[:h, :w], bi[:h, :w]
