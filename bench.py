@@ -126,31 +126,50 @@ def main() -> None:
         benchmark_render,
     )
 
-    # iters=10/6: the demo forward chain is ~4 ms/frame, so 3-iter chains
-    # sit at the relay's noise floor and the fwd/fwdbwd DIFFERENCE can
-    # round to 0 (BENCH_r03 chains showed 0.0); longer chains amortize it.
-    # NOTE (r4): the pure-forward render now takes the FUSED whole-trace
-    # kernel while the training forward keeps the per-level residual chain,
-    # so t_bwd = t_both - t_fwd includes that engine gap — the reported
-    # ratio OVERSTATES the true backward cost (conservative direction).
-    extra(
-        "bwd_fwd_ratio",  # flagship: 3-prim demo, custom-VJP take backward
-        lambda: benchmark_forward_backward(
-            scene, camera, WIDTH, HEIGHT, depth=DEPTH, iters=10
-        )["bwd_fwd_ratio"],
-    )
+    # Honest 3-way decomposition (VERDICT r4 item 1): pure fused forward /
+    # residual-emitting training forward / true backward (= both - train),
+    # timed as PAIRED rounds inside benchmark_forward_backward (one round
+    # runs the three chains back-to-back, so the subtraction happens under
+    # the same relay conditions — r4's independently-scheduled chains put
+    # the grid-64 ratio spread at 2x). Ratio denominator = the inference
+    # forward; the engine gap is visible as fwd_train_ms - fwd_ms.
+    def extra_fwdbwd(suffix, sc, iters, rounds):
+        if not within_budget():
+            return
+        try:
+            r = benchmark_forward_backward(
+                sc, camera, WIDTH, HEIGHT, depth=DEPTH,
+                iters=iters, rounds=rounds,
+            )
+            extras["fwd_ms" + suffix] = round(r["forward_ms"], 3)
+            extras["fwd_train_ms" + suffix] = round(r["forward_train_ms"], 3)
+            extras["bwd_ms" + suffix] = round(r["backward_ms"], 3)
+            extras["bwd_fwd_ratio" + suffix] = round(r["bwd_fwd_ratio"], 3)
+            extras["bwd_fwd_ratio" + suffix + "_chains"] = (
+                r["bwd_fwd_ratio_rounds"]
+            )
+        except Exception:
+            extras["bwd_fwd_ratio" + suffix] = float("nan")
+
+    # flagship: 3-prim demo (fused whole-trace fwd+bwd kernels)
+    extra_fwdbwd("", scene, iters=15, rounds=5)
     grid64 = scenes.grid_sphere_scene(64)
-    extra(
-        "bwd_fwd_ratio_grid64",  # >=32 prims: the mm-gather backward
-        lambda: benchmark_forward_backward(
-            grid64, camera, WIDTH, HEIGHT, depth=DEPTH, iters=12
-        )["bwd_fwd_ratio"],
-        chains=5,  # BENCH_r03 spread was 30% at 6-iter/3-chain (VERDICT r3)
-    )
+    # >=32 prims: the per-level trace kernels + mm-gather backward
+    extra_fwdbwd("_grid64", grid64, iters=12, rounds=5)
     extra(
         "frame_ms_grid64_1080p_d3",  # midsize fused-kernel artifact (r4)
         lambda: benchmark_render(
             grid64, camera, WIDTH, HEIGHT, depth=DEPTH, iters=10
+        )["frame_ms"],
+    )
+    extra(
+        "frame_ms_ref_demo_640_d10",  # the reference's TRUE default
+        # workload: 640x640 (int-division aspect quirk), depth 10, demo
+        # scene (/root/reference/main.cpp:22,25,89,156-163) — the "Nx the
+        # reference" claim as a driver artifact (VERDICT r4 item 5).
+        lambda: benchmark_render(
+            scenes.reference_demo_scene(), camera, 640, 640,
+            depth=10, iters=15
         )["frame_ms"],
     )
     grid1024 = scenes.grid_sphere_scene(1024)
@@ -179,16 +198,6 @@ def main() -> None:
         )["step_ms"],
     )
 
-    if "bwd_fwd_ratio" in extras:
-        # The ratio's denominator is the PURE forward (fused whole-trace
-        # kernel), which round 4 made ~2.5x faster; the absolute backward
-        # kept dropping too, so a rising ratio here reflects the forward
-        # speedup, not a backward regression (r3: 0.83 ratio at a 4.1 ms
-        # forward; r4: ~1.0 ratio at a 2.1-2.4 ms forward).
-        extras["bwd_fwd_ratio_note"] = (
-            "ratio denominator is the fused pure-forward; forward got "
-            "~2.5x faster in r4 while absolute bwd time also dropped"
-        )
     print(
         json.dumps(
             {

@@ -75,7 +75,8 @@ class RenderConfig:
         return dataclasses.replace(self, **kw)
 
 
-# The five benchmark configurations from BASELINE.json `configs`.
+# The five benchmark configurations from BASELINE.json `configs`, plus the
+# reference's own default workload (ref-demo-640-d10).
 BASELINE_CONFIGS: dict[str, RenderConfig] = {
     c.name: c
     for c in [
@@ -98,6 +99,15 @@ BASELINE_CONFIGS: dict[str, RenderConfig] = {
             name="c4-fit-64sphere",
             scene="grid", scene_args={"n": 64},
             width=1920, height=1080, depth=1, fit=True,
+        ),
+        RenderConfig(
+            # The reference's TRUE default workload: 640x640 (int-division
+            # aspect quirk, main.cpp:25 + scene.cpp:82), depth 10
+            # (main.cpp:89), the hard-coded demo scene (main.cpp:156-163).
+            # Driver artifact: bench.py `frame_ms_ref_demo_640_d10`.
+            name="ref-demo-640-d10",
+            scene="demo",
+            width=640, height=640, depth=10,
         ),
         RenderConfig(
             name="c5-4k-1024sphere",

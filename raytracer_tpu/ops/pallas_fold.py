@@ -2201,8 +2201,22 @@ def _trace_levels_pallas_impl(
                 jnp.arange(n_chunks, dtype=jnp.int32),
                 (th * tw * _SLICES, n_chunks),
             ).reshape(-1)
-            counts = jnp.full((th * tw * _SLICES,), n_chunks, jnp.int32)
-            sl_levels = [(chunk_list, counts, sl_r)] * (depth + 1)
+            # Dead (sky) tiles keep their -1 skip marker in the residual
+            # shortlists (ADVICE r4): derive per-level counts from each
+            # level's throughput plane so a per-level backward (RT_FUSED_BWD
+            # =0) skips them; the fused backward gates on the w plane
+            # directly and ignores these counts.
+            sl_levels = [
+                (
+                    chunk_list,
+                    jnp.where(
+                        _slice_reduce(w_k > 0.0, th, tw, jnp.any, sl_r),
+                        n_chunks, -1,
+                    ).astype(jnp.int32).reshape(-1),
+                    sl_r,
+                )
+                for w_k in w_levels
+            ]
             acc = V3(
                 ar[:h, :w], ag[:h, :w], ab[:h, :w]
             ) if (hp != h or wp != w) else V3(ar, ag, ab)
@@ -2604,6 +2618,256 @@ def _trace_level_bwd(tables, chunk_list, counts, mats, lights, sky,
       *level_in, *ct_acc, *ct_next)
 
 
+# Fused whole-trace BACKWARD (VERDICT r4 item 1): for the same scene class
+# the forward fuses (<= _FUSED_MAX_CHUNKS chunks, identity shortlists), run
+# the entire reverse sweep in ONE kernel — per-level ray/throughput
+# cotangents chain in VMEM instead of round-tripping HBM between depth+1
+# kernel dispatches, the parameter-gradient block accumulates across levels
+# in one per-tile output, and dead (sky) tiles lax.cond-skip whole backward
+# levels exactly like the forward's skip_level.
+_FUSED_BWD = os.environ.get("RT_FUSED_BWD", "1") != "0"
+
+
+def _kernel_trace_whole_bwd(n_w: int, n_b: int, wall_base: int,
+                            box_base: int, n_chunks: int, n_s_pad: int,
+                            n_w_pad: int, n_b_pad: int, n_pt: int,
+                            n_sun: int, depth: int):
+    """All backward trace levels in one kernel.
+
+    Inputs: per level k = 0..depth the saved residuals (input rays6,
+    throughput w, selections t/i — 9 planes each), then the image
+    cotangent (3 planes). The reverse sweep runs in-register: level k's
+    input-ray/throughput cotangents feed level k-1 without touching HBM.
+    Identity chunk shortlists (this kernel serves only the fused-forward
+    scene class); per-level tile aliveness comes from the saved throughput
+    plane, so fully-dead (sky) tiles skip the regather + vjp of every dead
+    level (the fix for ADVICE r4's dead-tile note on fused residuals).
+    """
+    n_rows_tot = n_s_pad + n_w_pad + n_b_pad
+    n_ls = n_pt * 6 + n_sun * 6 + 10
+
+    def kernel(
+        cx, cy, cz, cr2,
+        nx, ny, nz, dpl, rx, ry, rz, ux, uy, uz, px, py, pz, ln, wd,
+        bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
+        srad, mcr, mcg, mcb, mam, mmt, mdf, msp, mex,
+        lpx, lpy, lpz, lcr, lcg, lcb,
+        sdx, sdy, sdz, scr, scg, scb,
+        sky,
+        *refs,
+    ):
+        n_in = 9 * (depth + 1) + 3
+        ins = refs[:n_in]
+        (cox_ref, coy_ref, coz_ref, cdx_ref, cdy_ref, cdz_ref, cw_ref,
+         pg_ref, ls_ref) = refs[n_in:]
+        sm = dict(
+            cx=cx, cy=cy, cz=cz, nx=nx, ny=ny, nz=nz,
+            px=px, py=py, pz=pz, bmnx=bmnx, bmny=bmny, bmnz=bmnz,
+            bmxx=bmxx, bmxy=bmxy, bmxz=bmxz,
+            chunk_list=None, counts=None, srad=srad,
+            mcr=mcr, mcg=mcg, mcb=mcb, mam=mam, mmt=mmt, mdf=mdf,
+            msp=msp, mex=mex,
+        )
+        pt = tuple(
+            (lpx[li], lpy[li], lpz[li], lcr[li], lcg[li], lcb[li])
+            for li in range(n_pt)
+        )
+        sun = tuple(
+            (sdx[si], sdy[si], sdz[si], scr[si], scg[si], scb[si])
+            for si in range(n_sun)
+        )
+        sky_s = tuple(sky[i] for i in range(10))
+        car, cag, cab = (ins[9 * (depth + 1) + j][:] for j in range(3))
+        zero = jnp.zeros_like(car)
+        ct7 = (zero,) * 7  # d(next o3, d3, w) — zeros after the last level
+        pg_ref[0, 0] = jnp.zeros((n_rows_tot, 16), jnp.float32)
+        ls_acc = [jnp.float32(0.0)] * n_ls
+        lane16 = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)
+
+        def row_vals(vals14):
+            row = jnp.zeros((1, 16), jnp.float32)
+            for c, v in enumerate(vals14):
+                row = jnp.where(lane16 == c, v, row)
+            return row
+
+        for k in reversed(range(depth + 1)):
+            b = 9 * k
+            rays = tuple(ins[b + j][:] for j in range(6))
+            w = ins[b + 6][:]
+            t_sel = ins[b + 7][:]
+            i_sel = ins[b + 8][:]
+            alive = jnp.any(w > 0.0)
+            is_last = k == depth
+
+            def run(ct7, rays=rays, w=w, t_sel=t_sel, i_sel=i_sel,
+                    is_last=is_last):
+                acc, hit, is_s, is_wl, is_bx = _regather_core(
+                    sm, 0, t_sel, i_sel, True,
+                    n_w=n_w, n_b=n_b, wall_base=wall_base,
+                    box_base=box_base, n_chunks=n_chunks,
+                    n_s_pad=n_s_pad, n_w_pad=n_w_pad,
+                    counts_val=jnp.int32(n_chunks),
+                )
+
+                def f(a_t, rays_t, w_t, pt_t, sun_t, sky_t):
+                    (t_out, ar_inc, ag_inc, ab_inc, w_next,
+                     nox, noy, noz, ndx, ndy, ndz) = _level_math(
+                        a_t, rays_t, w_t, t_sel, hit, is_s, is_wl, is_bx,
+                        pt_t, sun_t, sky_t, n_w=n_w, n_b=n_b,
+                        is_last=is_last,
+                    )
+                    return (ar_inc, ag_inc, ab_inc, w_next,
+                            nox, noy, noz, ndx, ndy, ndz)
+
+                _, vjp = jax.vjp(f, acc, rays, w, pt, sun, sky_s)
+                cts = (car, cag, cab, ct7[6],
+                       ct7[0], ct7[1], ct7[2], ct7[3], ct7[4], ct7[5])
+                ct_a, ct_rays, ct_w, ct_pt, ct_sun, ct_sky = vjp(cts)
+                ls_flat = []
+                for li in range(n_pt):
+                    ls_flat.extend(ct_pt[li])
+                for si in range(n_sun):
+                    ls_flat.extend(ct_sun[si])
+                ls_flat.extend(ct_sky)
+                return tuple(ct_rays) + (ct_w,) + tuple(ct_a) + tuple(ls_flat)
+
+            def skip(ct7):
+                # Dead level = forward skip_level: rays/throughput pass
+                # through, so their cotangents pass through unchanged; no
+                # attribute / light / sky contributions.
+                return (
+                    ct7 + (zero,) * 14
+                    + (jnp.float32(0.0),) * n_ls
+                )
+
+            out = jax.lax.cond(alive, run, skip, ct7)
+            ct7 = out[:7]
+            ct_a = out[7:21]
+            ls_acc = [a + v for a, v in zip(ls_acc, out[21:])]
+
+            # --- parameter scatter into the per-tile gradient block, the
+            # transpose of the regather; trip counts gate on `alive` so
+            # dead tiles skip the loops entirely. Identity chunk ids.
+            is_sphere = (i_sel >= 0) & (i_sel < wall_base)
+            is_wall = (i_sel >= wall_base) & (i_sel < box_base)
+            is_box = i_sel >= box_base
+
+            def scatter_chunk(c, carry):
+                base = c * _unroll()
+                in_chunk = (
+                    is_sphere & (i_sel >= base) & (i_sel < base + _unroll())
+                )
+
+                @pl.when(jnp.any(in_chunk))
+                def _():
+                    for u in range(_unroll()):
+                        idx = base + u
+                        m = is_sphere & (i_sel == idx)
+                        mf = m.astype(jnp.float32)
+                        sums = [jnp.sum(mf * ct_a[cc]) for cc in
+                                (0, 1, 2, 3)] + [jnp.float32(0.0)] * 2 + [
+                            jnp.sum(mf * ct_a[cc]) for cc in range(6, 14)
+                        ]
+                        cur = pg_ref[0, 0, pl.dslice(idx, 1), :]
+                        pg_ref[0, 0, pl.dslice(idx, 1), :] = (
+                            cur + row_vals(sums)
+                        )
+
+                return carry
+
+            if n_chunks and wall_base:
+                jax.lax.fori_loop(
+                    0, jnp.where(alive, n_chunks, 0), scatter_chunk, 0
+                )
+
+            def scatter_flat(i, row0, mask_type):
+                m = mask_type & (i_sel == i + (wall_base if row0 == n_s_pad
+                                               else box_base))
+                mf = m.astype(jnp.float32)
+                sums = [jnp.sum(mf * ct_a[cc]) for cc in range(14)]
+                cur = pg_ref[0, 0, pl.dslice(row0 + i, 1), :]
+                pg_ref[0, 0, pl.dslice(row0 + i, 1), :] = (
+                    cur + row_vals(sums)
+                )
+                return 0
+
+            if n_w:
+                jax.lax.fori_loop(
+                    0, jnp.where(alive, n_w, 0),
+                    lambda i, cr: scatter_flat(i, n_s_pad, is_wall), 0,
+                )
+            if n_b:
+                jax.lax.fori_loop(
+                    0, jnp.where(alive, n_b, 0),
+                    lambda i, cr: scatter_flat(i, n_s_pad + n_w_pad, is_box),
+                    0,
+                )
+
+        cox_ref[:], coy_ref[:], coz_ref[:] = ct7[0], ct7[1], ct7[2]
+        cdx_ref[:], cdy_ref[:], cdz_ref[:] = ct7[3], ct7[4], ct7[5]
+        cw_ref[:] = ct7[6]
+
+        srow = jnp.zeros((8, _SL_C), jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, _SL_C), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, _SL_C), 1)
+        for idx, v in enumerate(ls_acc):
+            srow = jnp.where(
+                (row == idx // _SL_C) & (lane == idx % _SL_C), v, srow
+            )
+        ls_ref[0, 0] = srow
+
+    return kernel
+
+
+@_jit_cfg(static_argnames=("n_w", "n_b", "wall_base", "box_base", "n_chunks",
+                           "n_s_pad", "n_w_pad", "n_b_pad", "n_pt", "n_sun",
+                           "depth", "sl_r", "interpret"))
+def _trace_whole_bwd(tables, mats, lights, sky, level_planes, ct_acc, *,
+                     n_w: int, n_b: int, wall_base: int, box_base: int,
+                     n_chunks: int, n_s_pad: int, n_w_pad: int,
+                     n_b_pad: int, n_pt: int, n_sun: int, depth: int,
+                     sl_r: int, interpret: bool):
+    """Fused reverse sweep over all levels; see `_kernel_trace_whole_bwd`.
+
+    Returns ``(ct_o3, ct_d3, ct_w, param_grad_tiles, ls_stats)`` exactly
+    like a `_trace_level_bwd` chain would after its last (k=0) level.
+    """
+    h, w = level_planes[0].shape
+    grid = (h // sl_r, w // _SL_C)
+    th, tw = grid
+    n_rows_tot = n_s_pad + n_w_pad + n_b_pad
+    spec = pl.BlockSpec(
+        (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+    )
+    stats_spec = pl.BlockSpec(
+        (1, 1, 8, _SL_C), lambda i, j, *_: (i, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    pg_spec = pl.BlockSpec(
+        (1, 1, n_rows_tot, 16), lambda i, j, *_: (i, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    n_in = 9 * (depth + 1) + 3
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=25 + 9 + 13,
+        grid=grid,
+        in_specs=[spec] * n_in,
+        out_specs=(spec,) * 7 + (pg_spec, stats_spec),
+    )
+    f32 = _out_struct((h, w), jnp.float32, level_planes[0])
+    return pl.pallas_call(
+        _kernel_trace_whole_bwd(n_w, n_b, wall_base, box_base, n_chunks,
+                                n_s_pad, n_w_pad, n_b_pad, n_pt, n_sun,
+                                depth),
+        out_shape=(f32,) * 7
+        + (_out_struct((th, tw, n_rows_tot, 16), jnp.float32,
+                       level_planes[0]),
+           _out_struct((th, tw, 8, _SL_C), jnp.float32, level_planes[0])),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*tables, *mats, *lights, sky, *level_planes, *ct_acc)
+
+
 def _trace_levels_pallas_bwd_impl(
     scene: Scene, ts, idxs, rays_levels, w_levels, sl_levels, ct_acc: V3, *,
     depth: int, interpret: bool | None = None,
@@ -2651,29 +2915,59 @@ def _trace_levels_pallas_bwd_impl(
     n_sun = scene.lights.sun_color.shape[0]
 
     zero = jnp.zeros((hp, wp), jnp.float32)
-    ct_next = (zero,) * 7  # d(next o3, d3, w) — nothing after the last level
     n_rows_tot = n_s_pad + n_w_pad + n_b_pad
-    pg_sum = jnp.zeros((n_rows_tot, 16), jnp.float32)
-    ls_sum = jnp.zeros((8 * _SL_C,), jnp.float32)
-    ct_rays = (zero,) * 6
-    for k in reversed(range(depth + 1)):
-        level_in = rays_levels[k] + (w_levels[k], ts[k], idxs[k])
-        chunk_list, counts, sl_k = sl_levels[k]
-        outs = _trace_level_bwd(
-            tables, chunk_list, counts, (srad,) + mats, light_tbls,
-            sky_tbl, level_in, ct3, ct_next,
+
+    # Fused reverse sweep — exactly the scene class whose forward fused
+    # (same eligibility conditions; within one value_and_grad trace the
+    # forward and backward see the same config, so the residual shortlists
+    # are identity lists and the whole-sweep kernel is valid).
+    use_fused = (
+        _FUSED_BWD and _FUSED_RESID and _SLICES == 1
+        and 1 <= depth <= _FUSED_MAX_DEPTH
+        and 0 < n_chunks <= _FUSED_MAX_CHUNKS
+        and all(sl == sl_levels[0][2] for _, _, sl in sl_levels)
+    )
+    if use_fused:
+        level_planes = []
+        for k in range(depth + 1):
+            level_planes += list(rays_levels[k]) + [
+                w_levels[k], ts[k], idxs[k]
+            ]
+        outs = _trace_whole_bwd(
+            tables, (srad,) + mats, light_tbls, sky_tbl,
+            tuple(level_planes), ct3,
             n_w=counts_tbl["n_w"], n_b=counts_tbl["n_b"],
             wall_base=wall_base, box_base=box_base,
             n_chunks=n_chunks_eff, n_s_pad=n_s_pad, n_w_pad=n_w_pad,
-            n_b_pad=n_b_pad, n_pt=n_pt, n_sun=n_sun,
-            is_last=(k == depth), sl_r=sl_k, interpret=interpret,
-            cfg=_cfg_key(),
+            n_b_pad=n_b_pad, n_pt=n_pt, n_sun=n_sun, depth=depth,
+            sl_r=sl_levels[0][2], interpret=interpret, cfg=_cfg_key(),
         )
         ct_rays = outs[0:6]
-        ct_w_in = outs[6]
-        pg_sum = pg_sum + outs[7].sum(axis=(0, 1))
-        ls_sum = ls_sum + outs[8].sum(axis=(0, 1)).reshape(-1)
-        ct_next = ct_rays + (ct_w_in,)
+        pg_sum = outs[7].sum(axis=(0, 1))
+        ls_sum = outs[8].sum(axis=(0, 1)).reshape(-1)
+    else:
+        ct_next = (zero,) * 7  # d(next o3/d3/w) — nothing after the last
+        pg_sum = jnp.zeros((n_rows_tot, 16), jnp.float32)
+        ls_sum = jnp.zeros((8 * _SL_C,), jnp.float32)
+        ct_rays = (zero,) * 6
+        for k in reversed(range(depth + 1)):
+            level_in = rays_levels[k] + (w_levels[k], ts[k], idxs[k])
+            chunk_list, counts, sl_k = sl_levels[k]
+            outs = _trace_level_bwd(
+                tables, chunk_list, counts, (srad,) + mats, light_tbls,
+                sky_tbl, level_in, ct3, ct_next,
+                n_w=counts_tbl["n_w"], n_b=counts_tbl["n_b"],
+                wall_base=wall_base, box_base=box_base,
+                n_chunks=n_chunks_eff, n_s_pad=n_s_pad, n_w_pad=n_w_pad,
+                n_b_pad=n_b_pad, n_pt=n_pt, n_sun=n_sun,
+                is_last=(k == depth), sl_r=sl_k, interpret=interpret,
+                cfg=_cfg_key(),
+            )
+            ct_rays = outs[0:6]
+            ct_w_in = outs[6]
+            pg_sum = pg_sum + outs[7].sum(axis=(0, 1))
+            ls_sum = ls_sum + outs[8].sum(axis=(0, 1)).reshape(-1)
+            ct_next = ct_rays + (ct_w_in,)
 
     # --- scene geometry/material gradients: per-tile blocks -> the packed
     # attribute table layout -> scene leaves via _packed_table's transpose.

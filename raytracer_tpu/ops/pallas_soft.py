@@ -58,7 +58,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raytracer_tpu.core.types import Scene
 from raytracer_tpu.core.v3 import V3
-from raytracer_tpu.ops.pallas_fold import _SL_C, _out_struct, pallas_available
+from raytracer_tpu.ops.pallas_fold import (
+    _SL_C,
+    _out_struct,
+    _srecip,
+    pallas_available,
+)
 from raytracer_tpu.ops.trace import _REFLECT_EPS, _wall_tables
 
 __all__ = ["soft_trace_pallas", "soft_pallas_supported"]
@@ -81,14 +86,22 @@ _SOFT_CHUNK = 8
 _SOFT_BWD_VMEM_LIMIT = int(
     os.environ.get("RT_SOFT_BWD_VMEM", str(64 * 1024 * 1024))
 )
-# Kernel-path sphere cap: the backward's per-key cotangent accumulators are
-# (8, 128) lane-slot planes (sphere i -> row i//128, lane i%128), so the
-# layout holds exactly 1024 spheres. The chunk-streamed loop body compiles
-# in O(1), so this is a LAYOUT limit, not a compile-time one; beyond it
-# trace_soft falls back to the chunk-scanned XLA path.
-_SOFT_MAX_SPHERES = min(
-    int(os.environ.get("RT_SOFT_PALLAS_MAX_SPHERES", "1024")), 1024
-)
+# Kernel-path sphere cap. The backward's per-key cotangent accumulators
+# are (8, 128) lane-slot planes holding _SLOT_CAP spheres each; past one
+# plane the scatter streams ADDITIONAL planes per key (sphere i -> plane
+# i // _SLOT_CAP, row/lane from i % _SLOT_CAP), so the old hard 1024
+# cliff (VERDICT r4 item 3) is gone — the cap below only bounds the
+# fori-carry footprint (12 keys x n_planes x 4 KB). Beyond it trace_soft
+# falls back to the chunk-scanned XLA path.
+_SOFT_MAX_SPHERES = int(os.environ.get("RT_SOFT_PALLAS_MAX_SPHERES", "4096"))
+# Spheres per (8, 128) cotangent plane. Module-level so tests can shrink
+# it to exercise the multi-plane scatter on small scenes.
+_SLOT_CAP = 8 * _SL_C
+
+
+def _sct_planes(n_s_pad: int) -> int:
+    """Cotangent lane-slot planes per sphere key."""
+    return max(-(-n_s_pad // _SLOT_CAP), 1)
 _SOFT_PALLAS = os.environ.get("RT_SOFT_PALLAS", "1") != "0"
 # Soft tube gate (A/B knob). Margins are in sigmoid-argument units: f32
 # sigmoid underflows to exactly 0.0 below ~-104 (exp(-104) < the smallest
@@ -218,7 +231,27 @@ _WALL_GEO_KEYS = ("nx", "ny", "nz", "rx", "ry", "rz", "ux", "uy", "uz",
                   "px", "py", "pz", "dplane", "length", "width")
 _MAT_KEYS = ("colr", "colg", "colb", "amb", "kd", "ks", "exp", "met")
 _BOX_GEO_KEYS = ("mnx", "mny", "mnz", "mxx", "mxy", "mxz")
-_GATE_KEYS = ("gcx", "gcy", "gcz", "gg", "gr2", "gsm")
+_GATE_KEYS = (
+    "gcx", "gcy", "gcz", "gg", "gr2", "gsm",  # chunk bounding spheres
+    "galx", "galy", "galz", "gahx", "gahy", "gahz",  # chunk AABBs
+)
+
+# Chunk-gate geometry, mirroring the hard path's scene-adaptive rule
+# (pallas_fold._resolve_gate_geom, VERDICT r4 item 4): multi-chunk scenes
+# gate on the inflated chunk AABB slab test (spread members make the
+# circumscribed bounding sphere much looser than the box); single-chunk
+# scenes keep the bounding sphere. Exactness argument is unchanged — a
+# line that misses the inflated box cannot pass within any member's
+# sigmoid-underflow radius (member balls are inside the box), and a box
+# whose line interval ends before -_GATE_T_MARGIN*tau puts every member
+# hit behind the underflow width.
+_SOFT_GATE_GEOM = os.environ.get("RT_SOFT_GATE_GEOM", "auto")
+
+
+def _soft_gate_kind(n_chunks: int) -> str:
+    if _SOFT_GATE_GEOM != "auto":
+        return _SOFT_GATE_GEOM
+    return "aabb" if n_chunks >= 2 else "sphere"
 
 
 def _n_s_pad(scene: Scene) -> int:
@@ -272,8 +305,21 @@ def _soft_gate_arrays(scene: Scene, tau, n_s_pad: int) -> list:
     gr = jnp.max(jnp.where(valid, off + r_eff, 0.0), axis=1) + _SOFT_GATE_PAD
     gr2 = jnp.where(nv > 0, gr * gr, -1.0)
     gsm = jnp.max(jnp.where(valid, off, 0.0), axis=1) + _SOFT_GATE_PAD
+    # Chunk AABBs over the sigmoid-inflated member balls (the "aabb" gate
+    # geometry). All-pad chunks get an inverted box (lo > hi) — the slab
+    # test can never accept them.
+    BIG = jnp.float32(1e30)
+    vm = valid[..., None]
+    ball_lo = c3 - r_eff[..., None]
+    ball_hi = c3 + r_eff[..., None]
+    glo = jnp.min(jnp.where(vm, ball_lo, BIG), axis=1) - _SOFT_GATE_PAD
+    ghi = jnp.max(jnp.where(vm, ball_hi, -BIG), axis=1) + _SOFT_GATE_PAD
+    glo = jnp.where((nv > 0)[:, None], glo, BIG)
+    ghi = jnp.where((nv > 0)[:, None], ghi, -BIG)
     return [gc[:, 0], gc[:, 1], gc[:, 2], jnp.sum(gc * gc, axis=-1),
-            gr2, gsm]
+            gr2, gsm,
+            glo[:, 0], glo[:, 1], glo[:, 2],
+            ghi[:, 0], ghi[:, 1], ghi[:, 2]]
 
 
 def _tbls_from(read, sizes: dict) -> dict:
@@ -309,31 +355,57 @@ def _lights_of(tbls, cnt):
 
 
 def _tile_geom(rays6, w):
-    """Per-tile invariants the chunk gate reuses: (oo, do, w) with
+    """Per-tile invariants the chunk gate reuses: (oo, do, w, inv d) with
     oo = o.o, do = d.o (directions are unit by the raygen/reflect
-    invariants, CLAUDE.md layout facts)."""
+    invariants, CLAUDE.md layout facts); the safe reciprocals feed the
+    AABB slab gate."""
     ox, oy, oz, dx, dy, dz = rays6
     oo = ox * ox + oy * oy + oz * oz
     do = dx * ox + dy * oy + dz * oz
-    return oo, do, w
+    return oo, do, w, _srecip(dx), _srecip(dy), _srecip(dz)
 
 
-def _chunk_reachable(gate, c, rays6, geom, tau):
+def _chunk_reachable(gate, c, rays6, geom, tau, n_chunks: int):
     """Any-lane reach test for sphere chunk ``c`` (see module docstring).
 
     Exact-skip conditions per member sphere when this is False for a lane:
     either the ray LINE stays outside the sigmoid-underflow-inflated
-    radius (coverage factor exactly 0 in f32), or the whole chunk sits
-    behind the origin past the behind-camera sigmoid's underflow width
-    (t <= tc + spread <= -MARGIN * tau -> second factor exactly 0)."""
+    radius / the inflated chunk AABB (coverage factor exactly 0 in f32),
+    or the whole chunk sits behind the origin past the behind-camera
+    sigmoid's underflow width (second factor exactly 0). Geometry is
+    scene-adaptive (`_soft_gate_kind`): "aabb" slab-tests the ray line
+    against the chunk box built over the sigmoid-inflated member balls
+    (much tighter than the circumscribed sphere for spread chunks —
+    hard-path evidence, pallas_fold._resolve_gate_geom); "sphere" keeps
+    the chunk bounding sphere."""
     ox, oy, oz, dx, dy, dz = rays6
-    oo, do, w = geom
+    oo, do, w, ivx, ivy, ivz = geom
+    tau_eff = jnp.maximum(tau, 1e-6)
+    if _soft_gate_kind(n_chunks) == "aabb":
+        t1x = (gate["galx"][c] - ox) * ivx
+        t2x = (gate["gahx"][c] - ox) * ivx
+        t1y = (gate["galy"][c] - oy) * ivy
+        t2y = (gate["gahy"][c] - oy) * ivy
+        t1z = (gate["galz"][c] - oz) * ivz
+        t2z = (gate["gahz"][c] - oz) * ivz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        # The LINE (not the ray) must meet the box — the coverage sigmoid
+        # sees line distance — and the box's line interval must not end
+        # beyond the behind-camera sigmoid's underflow width (member hit
+        # points lie inside the box, so their t <= tf).
+        return (w > 0.0) & (tn <= tf) & (tf > -_GATE_T_MARGIN * tau_eff)
     gcx, gcy, gcz = gate["gcx"][c], gate["gcy"][c], gate["gcz"][c]
     s_g = dx * gcx + dy * gcy + dz * gcz
     ogc = ox * gcx + oy * gcy + oz * gcz
     tc = s_g - do  # closest-approach parameter on the full line (unit d)
     dist2 = oo - 2.0 * ogc + gate["gg"][c] + tc * (2.0 * (do - s_g) + tc)
-    tau_eff = jnp.maximum(tau, 1e-6)
     behind_ok = tc + gate["gsm"][c] > -_GATE_T_MARGIN * tau_eff
     return (w > 0.0) & (dist2 <= gate["gr2"][c]) & behind_ok
 
@@ -369,7 +441,7 @@ def _soft_t_ref(tbls, sread, gate, rays6, geom, cnt):
 
         if not _SOFT_TUBE_GATE:
             return do_chunk(t_ref)
-        reach = _chunk_reachable(gate, c, rays6, geom, tau)
+        reach = _chunk_reachable(gate, c, rays6, geom, tau, n_chunks)
         return jax.lax.cond(jnp.any(reach), do_chunk, lambda tr: tr, t_ref)
 
     t_ref = jax.lax.fori_loop(0, n_chunks, chunk_body, t_ref0)
@@ -480,7 +552,7 @@ def _soft_stream_sums(tbls, sread, gate, rays6, geom, w, t_ref, *, cnt,
 
         if not _SOFT_TUBE_GATE:
             return do_chunk(carry)
-        reach = _chunk_reachable(gate, c, rays6, geom, tau)
+        reach = _chunk_reachable(gate, c, rays6, geom, tau, n_chunks)
         return jax.lax.cond(jnp.any(reach), do_chunk, lambda cr: cr, carry)
 
     carry = jax.lax.fori_loop(0, n_chunks, chunk_body, carry0)
@@ -606,7 +678,9 @@ def _kernel_soft_level_bwd(keys, sizes, cnt, is_last: bool, ct_rows: int):
     n_tbl = len(keys)
     n_ref = n_tbl + len(_SPH_KEYS) + len(_GATE_KEYS)
     n_chunks = cnt["n_s_pad"] // _SOFT_CHUNK
-    sct_rows = len(_SPH_KEYS) * 8  # per-key (8, 128) lane-slot planes
+    n_planes = _sct_planes(cnt["n_s_pad"])
+    # per-key lane-slot planes, n_planes (8, 128) each (plane-minor order)
+    sct_rows = len(_SPH_KEYS) * 8 * n_planes
 
     def kernel(*refs):
         tbls = _tbls_from(lambda k, i: refs[keys.index(k)][i], sizes)
@@ -670,9 +744,12 @@ def _kernel_soft_level_bwd(keys, sizes, cnt, is_last: bool, ct_rows: int):
                 ct_rays = add(ct_rays, ct_rays_i)
 
         # Spheres: gated chunk loop; per-sphere vjp w.r.t. exactly the
-        # scalars it consumes. Sphere cotangents land in per-key (8, 128)
-        # lane-slot accumulators (sphere i -> row i // 128, lane i % 128),
-        # so the traced-index scatter is 12 cheap selects per sphere.
+        # scalars it consumes. Sphere cotangents land in per-key lane-slot
+        # accumulators — n_planes (8, 128) planes per key, sphere i ->
+        # plane i // _SLOT_CAP, row/lane from i % _SLOT_CAP — so the
+        # traced-index scatter is 12 x n_planes cheap selects per sphere
+        # and the layout scales past the old 1024-sphere cliff (VERDICT r4
+        # item 3).
         row_io = jax.lax.broadcasted_iota(jnp.int32, (8, _SL_C), 0)
         lane_io = jax.lax.broadcasted_iota(jnp.int32, (8, _SL_C), 1)
         zs = jnp.zeros((), jnp.float32)  # strongly-typed: fori carries must
@@ -683,7 +760,7 @@ def _kernel_soft_level_bwd(keys, sizes, cnt, is_last: bool, ct_rows: int):
             zero_ct_lts,
             zs,  # ct tau
             zs,  # ct tau_z
-            tuple(zslot for _ in _SPH_KEYS),
+            tuple(zslot for _ in range(len(_SPH_KEYS) * n_planes)),
         )
 
         def chunk_body(c, state):
@@ -705,16 +782,26 @@ def _kernel_soft_level_bwd(keys, sizes, cnt, is_last: bool, ct_rows: int):
                     ct_l = add(ct_l, ct_l_i)
                     ct_t = ct_t + ct_t_i
                     ct_tz = ct_tz + ct_tz_i
-                    hit = (row_io == idx // _SL_C) & (lane_io == idx % _SL_C)
-                    slots = tuple(
-                        jnp.where(hit, sl + ct_p_i[k], sl)
-                        for sl, k in zip(slots, _SPH_KEYS)
+                    slot_i = idx % _SLOT_CAP
+                    hit = (
+                        (row_io == slot_i // _SL_C)
+                        & (lane_io == slot_i % _SL_C)
                     )
+                    plane_i = idx // _SLOT_CAP
+                    slots = list(slots)
+                    for j, k in enumerate(_SPH_KEYS):
+                        for pn in range(n_planes):
+                            si = j * n_planes + pn
+                            sel = hit & (plane_i == pn)
+                            slots[si] = jnp.where(
+                                sel, slots[si] + ct_p_i[k], slots[si]
+                            )
+                    slots = tuple(slots)
                 return ct_r, ct_l, ct_t, ct_tz, slots
 
             if not _SOFT_TUBE_GATE:
                 return do_chunk(state)
-            reach = _chunk_reachable(gate, c, rays6, geom, tau)
+            reach = _chunk_reachable(gate, c, rays6, geom, tau, n_chunks)
             return jax.lax.cond(jnp.any(reach), do_chunk, lambda st: st,
                                 state)
 
@@ -741,8 +828,8 @@ def _kernel_soft_level_bwd(keys, sizes, cnt, is_last: bool, ct_rows: int):
                 (row == pos // _SL_C) & (lane == pos % _SL_C), v, block
             )
         pct_ref[0, 0] = block
-        for j in range(len(_SPH_KEYS)):
-            sct_ref[0, 0, j * 8:(j + 1) * 8, :] = slots[j]
+        for si in range(len(_SPH_KEYS) * n_planes):
+            sct_ref[0, 0, si * 8:(si + 1) * 8, :] = slots[si]
 
     return kernel, sct_rows
 
@@ -945,8 +1032,11 @@ def _soft_levels_bwd_impl(scene: Scene, tau, tau_z, rays_levels, w_levels,
     zero = jnp.zeros((hp, wp), jnp.float32)
     ct_next = (zero,) * 7  # d(next rays6, next w): nothing past the last
     rows = _ct_rows(sizes)
+    n_planes = _sct_planes(n_s_pad)
     pct_sum = jnp.zeros((rows * _SL_C,), jnp.float32)
-    sct_sum = jnp.zeros((len(_SPH_KEYS) * 8, _SL_C), jnp.float32)
+    sct_sum = jnp.zeros(
+        (len(_SPH_KEYS) * 8 * n_planes, _SL_C), jnp.float32
+    )
     for k in reversed(range(depth + 1)):
         level_in = rays_levels[k] + (w_levels[k],)
         outs = _soft_level_bwd(
@@ -970,7 +1060,12 @@ def _soft_levels_bwd_impl(scene: Scene, tau, tau_z, rays_levels, w_levels,
         ct_arrs[k] = jax.lax.dynamic_slice_in_dim(pct_sum, pos, n)
         pos += n
     for j, k in enumerate(_SPH_KEYS):
-        ct_arrs["s_" + k] = sct_sum[j * 8:(j + 1) * 8].reshape(-1)[:n_s_pad]
+        parts = []
+        for pn in range(n_planes):
+            base = (j * n_planes + pn) * 8
+            parts.append(sct_sum[base:base + 8].reshape(-1)[:_SLOT_CAP])
+        block = parts[0] if n_planes == 1 else jnp.concatenate(parts)
+        ct_arrs["s_" + k] = block[:n_s_pad]
     scene_ct, ct_tau, ct_tau_z = vjp_arrs(ct_arrs)
 
     def crop(c):

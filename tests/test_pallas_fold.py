@@ -269,6 +269,86 @@ def test_backward_megakernel_full_scene_grads_match_jnp_path():
         )
 
 
+def test_all_miss_gradients_finite():
+    """Pin the load-bearing stop-gradient invariant (ADVICE r4): the fold
+    kernels drop the `disc >= 0` guard in favor of NaN-compare rejection
+    (pallas_fold sphere_one), which is safe ONLY because closest_hit_soa /
+    _pallas_trace always call them on stop-gradiented inputs. If a future
+    path ever differentiates THROUGH a fold, every miss lane's
+    sqrt(negative disc) NaNs — this renders a scene whose sphere no ray
+    can hit (all-miss lanes everywhere) and asserts the scene gradient is
+    finite."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.models.scenes import (
+        reference_demo_camera,
+        reference_demo_scene,
+    )
+    from raytracer_tpu.render.integrator import render
+
+    base = reference_demo_scene()
+    # Move every primitive far behind the camera: every lane misses.
+    far = base.replace(
+        spheres=base.spheres.replace(
+            center=base.spheres.center + jnp.float32(1e4)
+        )
+    )
+
+    def loss(c):
+        sc = far.replace(spheres=far.spheres.replace(center=c))
+        img = render(sc, cam, 64, 48, depth=2, tonemap=False, fold="pallas")
+        return jnp.mean(img ** 2)
+
+    cam = reference_demo_camera()
+    g = jax.grad(loss)(far.spheres.center)
+    assert bool(jnp.isfinite(g).all())
+
+
+def test_fused_backward_matches_per_level(monkeypatch):
+    """RT_FUSED_BWD (the whole-sweep backward kernel) produces the same
+    gradients as the per-level backward chain on a fused-class scene, for
+    every scene leaf and the mixed primitive families. jax.clear_caches()
+    between configs: the flag is read at trace time (CLAUDE.md cache
+    trap)."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.models.scenes import (
+        mixed_primitive_scene,
+        reference_demo_camera,
+    )
+    from raytracer_tpu.ops import pallas_fold as pf
+    from raytracer_tpu.render.integrator import render
+
+    cam = reference_demo_camera()
+    scene = mixed_primitive_scene()
+    W, H = 40, 24
+    weights = jnp.cos(jnp.arange(H * W * 3, dtype=jnp.float32)).reshape(
+        H, W, 3
+    )
+
+    def loss(s):
+        img = render(s, cam, W, H, depth=2, tonemap=True, fold="pallas")
+        return jnp.sum(img * weights)
+
+    grads = {}
+    for fused in (True, False):
+        monkeypatch.setattr(pf, "_FUSED_BWD", fused)
+        jax.clear_caches()
+        grads[fused] = jax.grad(loss)(scene)
+    fl = jax.tree_util.tree_leaves_with_path(grads[True])
+    pl_ = jax.tree_util.tree_leaves(grads[False])
+    assert len(fl) == len(pl_)
+    for (path, a), b in zip(fl, pl_):
+        if not a.size or a.dtype != jnp.float32:
+            continue
+        assert bool(jnp.isfinite(a).all()), path
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5 * scale,
+            err_msg=str(path),
+        )
+
+
 def test_ray_stats_kernel_matches_xla_stats():
     """The level-0 reach-stats kernel (_ray_stats, TPU-only in production)
     computes the same per-tile phase-A statistics as the pure-XLA

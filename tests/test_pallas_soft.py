@@ -130,6 +130,62 @@ def test_soft_kernel_gradients_match_fd():
     assert abs(g - fd) <= 0.05 * max(abs(fd), 1e-6), (g, fd)
 
 
+def test_soft_multi_plane_cotangent_slots(monkeypatch):
+    """Sphere counts past one lane-slot plane (the old 1024 cliff, VERDICT
+    r4 item 3) scatter their cotangents into ADDITIONAL (8, 128) planes.
+    Exercised cheaply by shrinking _SLOT_CAP to 16 so a 24-sphere scene
+    needs 2 planes; gradients must match the XLA soft path exactly as the
+    single-plane layout does. clear_caches: _SLOT_CAP is read at trace
+    time (CLAUDE.md cache trap)."""
+    monkeypatch.setattr(ps, "_SLOT_CAP", 16)
+    jax.clear_caches()
+    try:
+        scene = grid_sphere_scene(24, distance=5.0)
+        assert ps._sct_planes(ps._n_s_pad(scene)) == 2
+        o, d = _rays()
+        tgt = jax.random.uniform(jax.random.PRNGKey(0), (H, W, 3))
+
+        def loss(color, use_kernel):
+            sc = scene.replace(spheres=scene.spheres.replace(
+                material=scene.spheres.material.replace(color=color)))
+            if use_kernel:
+                img = ps.soft_trace_pallas(sc, o, d, TAU, TAU_Z, 0)
+            else:
+                img = trace_soft(sc, o, d, tau=float(TAU),
+                                 tau_z=float(TAU_Z), depth=0)
+            return jnp.mean((img.stacked() - tgt) ** 2)
+
+        c0 = scene.spheres.material.color
+        gx = np.asarray(jax.grad(lambda c: loss(c, False))(c0))
+        gk = np.asarray(jax.grad(lambda c: loss(c, True))(c0))
+        # Every sphere's color gradient (incl. spheres 16..23 on plane 2)
+        # must land in the right slot.
+        np.testing.assert_allclose(
+            gk, gx, atol=1e-4 * max(np.abs(gx).max(), 1.0)
+        )
+    finally:
+        jax.clear_caches()
+
+
+def test_soft_kernel_supports_past_1024_spheres():
+    """The kernel path no longer cliffs at 1024 spheres: a 1025-sphere
+    scene routes to the megakernels (soft_pallas_supported True up to the
+    carry-footprint cap), and the slot layout accounts for it."""
+    scene = grid_sphere_scene(1025, distance=40.0)
+    n_pad = ps._n_s_pad(scene)
+    assert ps._sct_planes(n_pad) == 2
+    assert len(scene.spheres) <= ps._SOFT_MAX_SPHERES
+    # pallas_available() is False on the CPU harness; the support predicate
+    # must be limited only by the backend, not the sphere count.
+    if ps.pallas_available() or ps._FORCE_KERNEL:
+        assert ps.soft_pallas_supported(scene)
+    else:
+        import unittest.mock as mock
+
+        with mock.patch.object(ps, "_FORCE_KERNEL", True):
+            assert ps.soft_pallas_supported(scene)
+
+
 def test_soft_kernel_all_leaf_gradients_finite():
     """Every differentiable scene leaf (incl. walls, boxes, lights, sky)
     gets a finite cotangent through the kernel custom VJP."""
@@ -187,6 +243,66 @@ def test_soft_kernel_runs_under_sharded_mesh(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g8), np.asarray(g1),
         atol=1e-5 * max(float(jnp.abs(g1).max()), 1e-8),
+    )
+
+
+def test_soft_sharded_folds_prim_into_px(monkeypatch):
+    """On a mesh with prim > 1, the soft sharded render splits pixel rows
+    over EVERY device — 'prim' shards get their own rows instead of
+    recomputing identical tiles (VERDICT r4 item 7). Pins (a) per-shard row
+    count = H / (px * prim), (b) exactness + gradient parity vs the
+    unsharded render on a (2, 2) mesh."""
+    from raytracer_tpu.diff.soft import render_soft
+    from raytracer_tpu.parallel import render as pr
+    from raytracer_tpu.parallel.mesh import make_mesh
+
+    scene = grid_sphere_scene(4, distance=4.0)
+    cam = reference_demo_camera()
+    mesh = make_mesh(px=2, prim=2, devices=jax.devices()[:4])
+
+    seen_rows = []
+    real_raygen = pr.raygen_tile
+
+    def spy_raygen(camera, width, height, **kw):
+        seen_rows.append(kw.get("rows"))
+        return real_raygen(camera, width, height, **kw)
+
+    monkeypatch.setattr(pr, "raygen_tile", spy_raygen)
+    img = pr.render_soft_sharded_impl(
+        scene, cam, W, H, mesh=mesh, tau=float(TAU), tau_z=float(TAU_Z),
+        tonemap=False, depth=1,
+    )
+    # Rows shard over all 4 devices, not just the 2 'px' shards.
+    assert seen_rows == [-(-H // 4)], seen_rows
+
+    ref = render_soft(scene, cam, W, H, tau=float(TAU), tau_z=float(TAU_Z),
+                      tonemap=False, depth=1)
+    # atol: the XLA soft path's sharded-vs-unsharded spread is ~6e-5
+    # regardless of mesh shape (row-batch shape changes XLA fusion order);
+    # the kernel engine is bit-stable and covered by the sibling test.
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=2e-4)
+
+    def loss(c, sharded):
+        sc = scene.replace(spheres=scene.spheres.replace(center=c))
+        if sharded:
+            out = pr.render_soft_sharded_impl(
+                sc, cam, W, H, mesh=mesh, tau=float(TAU),
+                tau_z=float(TAU_Z), tonemap=False, depth=1,
+            )
+        else:
+            out = render_soft(sc, cam, W, H, tau=float(TAU),
+                              tau_z=float(TAU_Z), tonemap=False, depth=1)
+        return jnp.mean(out ** 2)
+
+    g1 = jax.grad(lambda c: loss(c, False))(scene.spheres.center)
+    g4 = jax.grad(lambda c: loss(c, True))(scene.spheres.center)
+    assert bool(jnp.isfinite(g4).all())
+    # Same XLA fusion-order spread as the forward (~0.25% relative); the
+    # kernel engine's sharded gradients are pinned tight by the sibling
+    # test above.
+    np.testing.assert_allclose(
+        np.asarray(g4), np.asarray(g1),
+        atol=5e-3 * max(float(jnp.abs(g1).max()), 1e-8),
     )
 
 
