@@ -173,16 +173,22 @@ def main() -> None:
         )["frame_ms"],
     )
     grid1024 = scenes.grid_sphere_scene(1024)
+    # iters raised 5 -> 15 / 3 -> 8 (r5): the device trace
+    # (docs/grid1024_dispatch.md) shows chained frames execute BACK-TO-BACK
+    # on-chip (36.39 ms each, zero inter-frame gap) — the wall overhead is
+    # one fixed ~25 ms chain-startup round trip, so short chains inflated
+    # the per-frame number by +5 ms (grid) / +8 ms (c5). Longer chains
+    # report the true steady state.
     extra(
         "frame_ms_1024sphere_1080p_d3",  # VERDICT r1 item 1 artifact
         lambda: benchmark_render(
-            grid1024, camera, WIDTH, HEIGHT, depth=DEPTH, iters=5
+            grid1024, camera, WIDTH, HEIGHT, depth=DEPTH, iters=15
         )["frame_ms"],
     )
     extra(
         "frame_ms_c5_4k_1024sphere_d4",  # BASELINE config 5 artifact
         lambda: benchmark_render(
-            grid1024, camera, 3840, 2160, depth=4, iters=3
+            grid1024, camera, 3840, 2160, depth=4, iters=8
         )["frame_ms"],
     )
     extra(
@@ -195,6 +201,15 @@ def main() -> None:
         "fit_step_ms_soft_1024sphere",  # r4: c5-scale fits on the kernel path
         lambda: benchmark_fit_step(
             grid1024, camera, WIDTH, HEIGHT, depth=1, soft=True, iters=2
+        )["step_ms"],
+    )
+    extra(
+        "fit_step_ms_soft_2048sphere",  # r5: past the old 1024 lane-slot
+        # cliff — multi-plane cotangent accumulators keep 2048-sphere fits
+        # on the kernel path (VERDICT r4 item 3).
+        lambda: benchmark_fit_step(
+            scenes.grid_sphere_scene(2048), camera, WIDTH, HEIGHT,
+            depth=1, soft=True, iters=2
         )["step_ms"],
     )
 

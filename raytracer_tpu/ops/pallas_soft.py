@@ -68,20 +68,21 @@ from raytracer_tpu.ops.trace import _REFLECT_EPS, _wall_tables
 
 __all__ = ["soft_trace_pallas", "soft_pallas_supported"]
 
-# Forward row-tile height. 32/32 fwd/bwd sweep vs 64/64 (v5e 2026-08-20):
-# c4 41.2 vs 39.8 ms but 1024-sphere 642 vs 697 — taller tiles loosen the
-# chunk gates faster than they amortize loop overhead at scale; keep 32.
+# Forward/backward row-tile heights. Re-swept 2026-08-20 AFTER the round-5
+# AABB gates + zero-replay backward (process-per-config, 1080p d1 soft
+# fit, v5e): 32/32 -> 1024-sph 373 ms / 64-sph 27.3; 32/16 -> 377/33.9;
+# 64/64 -> 436/30.8. 32/32 wins at every scale (finer tiles tighten the
+# chunk gates; the earlier sphere-gate-era sweep agreed).
 _SOFT_SL_R = int(os.environ.get("RT_SOFT_SL_R", "32"))
-# Backward row-tile height. The streaming per-sphere vjp keeps only ONE
-# sphere's residuals (~15 planes) live, so tall tiles fit VMEM easily and
-# win decisively on cond/loop overhead (v5e sweep 2026-08-20,
-# process-per-config, fit step 1080p d1: 64 spheres 8/16/32 ->
-# 57.6/45.5/41.1 ms; 1024 spheres -> 864/686/642 ms). 32 == the forward
-# tile; going taller requires raising RT_SOFT_SL_R too (the backward
-# re-tiles the forward's padded planes).
+# The backward re-tiles the forward's padded planes, so RT_SOFT_SL_R_BWD
+# must divide RT_SOFT_SL_R.
 _SOFT_SL_R_BWD = int(os.environ.get("RT_SOFT_SL_R_BWD", "32"))
 # Sphere-table granularity (padding quantum AND the fori_loop chunk size).
-_SOFT_CHUNK = 8
+# Swept 2026-08-20 under the AABB chunk gates (process-per-config, 1080p
+# d1 soft fit, v5e): 1024 spheres 8 -> 529 ms, 16 -> 533, 32 -> 605;
+# 64 spheres 8 -> 37.6. The 8-sphere chunk's tighter gates beat fewer
+# fori iterations at every scale tried.
+_SOFT_CHUNK = int(os.environ.get("RT_SOFT_CHUNK", "8"))
 # Backward-kernel scoped-VMEM cap (see the compiler_params note below).
 _SOFT_BWD_VMEM_LIMIT = int(
     os.environ.get("RT_SOFT_BWD_VMEM", str(64 * 1024 * 1024))
@@ -102,14 +103,21 @@ _SLOT_CAP = 8 * _SL_C
 def _sct_planes(n_s_pad: int) -> int:
     """Cotangent lane-slot planes per sphere key."""
     return max(-(-n_s_pad // _SLOT_CAP), 1)
+
+
 _SOFT_PALLAS = os.environ.get("RT_SOFT_PALLAS", "1") != "0"
-# Soft tube gate (A/B knob). Margins are in sigmoid-argument units: f32
-# sigmoid underflows to exactly 0.0 below ~-104 (exp(-104) < the smallest
-# f32 denormal; the tanh form rounds to -1 far earlier); 256 leaves >2x
-# headroom for f32 rounding in disc itself.
+# Soft tube gate (A/B knob). Margins are in sigmoid-argument units. The
+# exactness floor: XLA's logistic is tanh-based (exactly 0.0 below
+# x ~ -18); a pure exp form underflows 1/(1+exp(-x)) to 0.0 below
+# x ~ -89 (exp overflows f32 at 88.7). 128 keeps 1.4x headroom over the
+# WORST form plus the _SOFT_GATE_PAD absorbing geometry rounding —
+# tightened from 256/192 in round 5 (r_eff = sqrt(r^2 + M r tau) shrinks
+# visibly with M; 1024-sphere fit 529 -> 506 ms). The f32-underflow
+# canary test (tests/test_pallas_soft.py) pins the XLA floor; the
+# tests_tpu parity lane pins Mosaic's.
 _SOFT_TUBE_GATE = os.environ.get("RT_SOFT_TUBE_GATE", "1") != "0"
-_GATE_SIG_MARGIN = 256.0
-_GATE_T_MARGIN = 192.0
+_GATE_SIG_MARGIN = float(os.environ.get("RT_SOFT_GATE_SIG_MARGIN", "128"))
+_GATE_T_MARGIN = float(os.environ.get("RT_SOFT_GATE_T_MARGIN", "128"))
 _SOFT_GATE_PAD = 1e-2  # absolute bounding-sphere inflation (f32 drift)
 
 _FAR = 1e4  # mirror diff/soft.py: reference depth for rays that hit nothing
@@ -613,9 +621,16 @@ def _soft_post(tbls, carry, rays6, w, *, cnt, is_last: bool):
 # ---------------------------------------------------------------------------
 
 
-def _kernel_soft_level(keys, sizes, cnt, is_last: bool):
+def _n_carry(is_last: bool) -> int:
+    """Carry planes: (s, payload sums, log_transmit)."""
+    return 5 if is_last else 15
+
+
+def _kernel_soft_level(keys, sizes, cnt, is_last: bool,
+                       emit_res: bool = False):
     n_tbl = len(keys)
     n_ref = n_tbl + len(_SPH_KEYS) + len(_GATE_KEYS)
+    n_carry = _n_carry(is_last)
 
     def kernel(*refs):
         tbls = _tbls_from(lambda k, i: refs[keys.index(k)][i], sizes)
@@ -629,7 +644,7 @@ def _kernel_soft_level(keys, sizes, cnt, is_last: bool):
         ]
         (ar_ref, ag_ref, ab_ref, w_ref,
          nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref) = refs[
-            n_ref + 10:
+            n_ref + 10:n_ref + 20
         ]
         rays6 = (ox[:], oy[:], oz[:], dx[:], dy[:], dz[:])
         w = w_in[:]
@@ -649,6 +664,16 @@ def _kernel_soft_level(keys, sizes, cnt, is_last: bool):
             (nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref), outs[4:]
         ):
             ref[:] = v
+        if emit_res:
+            # TRAINING forward: stream out the anchor depth + composite
+            # carry so the backward kernel consumes them instead of
+            # replaying the two gated sphere sweeps (round 5; the hard
+            # path's zero-forward-replay property, ~1 forward's worth of
+            # sphere work removed from every backward level).
+            res_refs = refs[n_ref + 20:]
+            res_refs[0][:] = t_ref
+            for ref, v in zip(res_refs[1:], carry):
+                ref[:] = v
 
     return kernel
 
@@ -681,6 +706,7 @@ def _kernel_soft_level_bwd(keys, sizes, cnt, is_last: bool, ct_rows: int):
     n_planes = _sct_planes(cnt["n_s_pad"])
     # per-key lane-slot planes, n_planes (8, 128) each (plane-minor order)
     sct_rows = len(_SPH_KEYS) * 8 * n_planes
+    n_carry = _n_carry(is_last)
 
     def kernel(*refs):
         tbls = _tbls_from(lambda k, i: refs[keys.index(k)][i], sizes)
@@ -689,12 +715,14 @@ def _kernel_soft_level_bwd(keys, sizes, cnt, is_last: bool, ct_rows: int):
             k: refs[n_tbl + len(_SPH_KEYS) + j]
             for j, k in enumerate(_GATE_KEYS)
         }
-        (ox, oy, oz, dx, dy, dz, w_in,
-         car, cag, cab, cnox, cnoy, cnoz, cndx, cndy, cndz, cwn) = refs[
-            n_ref:n_ref + 17
+        (ox, oy, oz, dx, dy, dz, w_in) = refs[n_ref:n_ref + 7]
+        tref_in = refs[n_ref + 7]
+        carry_in = refs[n_ref + 8:n_ref + 8 + n_carry]
+        (car, cag, cab, cnox, cnoy, cnoz, cndx, cndy, cndz, cwn) = refs[
+            n_ref + 8 + n_carry:n_ref + 18 + n_carry
         ]
         (cox_ref, coy_ref, coz_ref, cdx_ref, cdy_ref, cdz_ref, cw_ref,
-         pct_ref, sct_ref) = refs[n_ref + 17:]
+         pct_ref, sct_ref) = refs[n_ref + 18 + n_carry:]
         rays6 = (ox[:], oy[:], oz[:], dx[:], dy[:], dz[:])
         w = w_in[:]
         geom = _tile_geom(rays6, w)
@@ -702,22 +730,21 @@ def _kernel_soft_level_bwd(keys, sizes, cnt, is_last: bool, ct_rows: int):
         tau = tbls["z_tau"][0]
         tau_z = tbls["z_tau_z"][0]
         lts = _lights_of(tbls, cnt)
-        t_ref = _soft_t_ref(tbls, sread, gate, rays6, geom, cnt)
         cts = (car[:], cag[:], cab[:], cwn[:],
                cnox[:], cnoy[:], cnoz[:], cndx[:], cndy[:], cndz[:])
 
-        # Streaming reverse sweep (manual outer transpose): (1) replay the
-        # carry sums (gated — identical to the forward's), (2) vjp the
-        # composite tail for the carry cotangent, (3) vjp each primitive's
-        # contribution independently — the carry is a plain sum, so the
-        # sum's cotangent IS each contribution's cotangent. Per-primitive
-        # residuals die immediately; the live set is O(1 primitive).
-        # Gated chunks' cotangents are exact zeros (module docstring), so
-        # the same cond skips their vjps.
-        carry = _soft_stream_sums(
-            tbls, sread, gate, rays6, geom, w, t_ref, cnt=cnt,
-            is_last=is_last,
-        )
+        # Streaming reverse sweep (manual outer transpose): (1) read the
+        # anchor depth + composite carry from the forward's residual
+        # planes (round 5 — previously REPLAYED here, two full gated
+        # sphere sweeps per backward level), (2) vjp the composite tail
+        # for the carry cotangent, (3) vjp each primitive's contribution
+        # independently — the carry is a plain sum, so the sum's cotangent
+        # IS each contribution's cotangent. Per-primitive residuals die
+        # immediately; the live set is O(1 primitive). Gated chunks'
+        # cotangents are exact zeros (module docstring), so the same cond
+        # skips their vjps.
+        t_ref = tref_in[:]
+        carry = tuple(c[:] for c in carry_in)
 
         def post_f(tbls_t, carry_t, rays_t, w_t):
             return _soft_post(
@@ -841,26 +868,28 @@ def _ct_rows(sizes: dict) -> int:
 
 @functools.partial(
     jax.jit, static_argnames=("keys", "sizes_t", "cnt_t", "is_last", "sl_r",
-                              "interpret"),
+                              "emit_res", "interpret"),
 )
 def _soft_level(arrs_list, sph_list, gate_list, rays, state, *, keys,
-                sizes_t, cnt_t, is_last: bool, sl_r: int, interpret: bool):
+                sizes_t, cnt_t, is_last: bool, sl_r: int,
+                emit_res: bool = False, interpret: bool):
     sizes, cnt = dict(sizes_t), dict(cnt_t)
     h, w = rays[0].shape
     grid = (h // sl_r, w // _SL_C)
     spec = pl.BlockSpec(
         (sl_r, _SL_C), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
     )
+    n_out = 10 + ((1 + _n_carry(is_last)) if emit_res else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(keys) + len(_SPH_KEYS) + len(_GATE_KEYS),
         grid=grid,
         in_specs=[spec] * 10,
-        out_specs=(spec,) * 10,
+        out_specs=(spec,) * n_out,
     )
     f32 = _out_struct((h, w), jnp.float32, rays[0])
     return pl.pallas_call(
-        _kernel_soft_level(keys, sizes, cnt, is_last),
-        out_shape=(f32,) * 10,
+        _kernel_soft_level(keys, sizes, cnt, is_last, emit_res),
+        out_shape=(f32,) * n_out,
         grid_spec=grid_spec,
         interpret=interpret,
     )(*arrs_list, *sph_list, *gate_list, *rays, *state)
@@ -870,9 +899,9 @@ def _soft_level(arrs_list, sph_list, gate_list, rays, state, *, keys,
     jax.jit, static_argnames=("keys", "sizes_t", "cnt_t", "is_last", "sl_r",
                               "interpret"),
 )
-def _soft_level_bwd(arrs_list, sph_list, gate_list, level_in, ct_acc,
-                    ct_next, *, keys, sizes_t, cnt_t, is_last: bool,
-                    sl_r: int, interpret: bool):
+def _soft_level_bwd(arrs_list, sph_list, gate_list, level_in, res_in,
+                    ct_acc, ct_next, *, keys, sizes_t, cnt_t,
+                    is_last: bool, sl_r: int, interpret: bool):
     sizes, cnt = dict(sizes_t), dict(cnt_t)
     h, w = level_in[0].shape
     grid = (h // sl_r, w // _SL_C)
@@ -894,7 +923,7 @@ def _soft_level_bwd(arrs_list, sph_list, gate_list, level_in, ct_acc,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(keys) + len(_SPH_KEYS) + len(_GATE_KEYS),
         grid=grid,
-        in_specs=[spec] * 17,
+        in_specs=[spec] * (18 + _n_carry(is_last)),
         out_specs=(spec,) * 7 + (pct_spec, sct_spec),
     )
     f32 = _out_struct((h, w), jnp.float32, level_in[0])
@@ -915,7 +944,8 @@ def _soft_level_bwd(arrs_list, sph_list, gate_list, level_in, ct_acc,
             vmem_limit_bytes=_SOFT_BWD_VMEM_LIMIT
         ),
         interpret=interpret,
-    )(*arrs_list, *sph_list, *gate_list, *level_in, *ct_acc, *ct_next)
+    )(*arrs_list, *sph_list, *gate_list, *level_in, *res_in,
+      *ct_acc, *ct_next)
 
 
 # ---------------------------------------------------------------------------
@@ -971,7 +1001,7 @@ def _soft_levels_impl(scene: Scene, o: V3, d: V3, tau, tau_z, *, depth: int,
     zero = jnp.zeros((hp, wp), jnp.float32)
     state = (w_live, zero, zero, zero)
 
-    rays_levels, w_levels = [], []
+    rays_levels, w_levels, res_levels = [], [], []
     for k in range(depth + 1):
         if with_residuals:
             rays_levels.append(rays)
@@ -979,22 +1009,26 @@ def _soft_levels_impl(scene: Scene, o: V3, d: V3, tau, tau_z, *, depth: int,
         outs = _soft_level(
             arrs_list, sph_list, gate_list, rays, state, keys=keys,
             sizes_t=sizes_t, cnt_t=cnt_t, is_last=(k == depth), sl_r=sl_r,
-            interpret=interpret,
+            emit_res=with_residuals, interpret=interpret,
         )
         state = (outs[3], outs[0], outs[1], outs[2])
         rays = tuple(outs[4:10])
+        if with_residuals:
+            # (t_ref, carry planes): the backward reads these instead of
+            # replaying the two gated sphere sweeps (round 5).
+            res_levels.append(tuple(outs[10:]))
 
     _, ar, ag, ab = state
     if hp != h or wp != w:
         ar, ag, ab = ar[:h, :w], ag[:h, :w], ab[:h, :w]
     acc = V3(ar, ag, ab)
     if with_residuals:
-        return acc, rays_levels, w_levels
+        return acc, rays_levels, w_levels, res_levels
     return acc
 
 
 def _soft_levels_bwd_impl(scene: Scene, tau, tau_z, rays_levels, w_levels,
-                          ct_acc: V3, *, depth: int,
+                          res_levels, ct_acc: V3, *, depth: int,
                           interpret: bool | None = None):
     if interpret is None:
         interpret = not pallas_available()
@@ -1040,7 +1074,8 @@ def _soft_levels_bwd_impl(scene: Scene, tau, tau_z, rays_levels, w_levels,
     for k in reversed(range(depth + 1)):
         level_in = rays_levels[k] + (w_levels[k],)
         outs = _soft_level_bwd(
-            arrs_list, sph_list, gate_list, level_in, ct3, ct_next,
+            arrs_list, sph_list, gate_list, level_in, res_levels[k],
+            ct3, ct_next,
             keys=keys, sizes_t=sizes_t, cnt_t=cnt_t, is_last=(k == depth),
             sl_r=sl_r, interpret=interpret,
         )
@@ -1106,16 +1141,16 @@ def soft_trace_pallas(scene, o, d, tau, tau_z, depth):
 
 
 def _soft_trace_fwd(scene, o, d, tau, tau_z, depth):
-    acc, rays_levels, w_levels = _soft_levels_impl(
+    acc, rays_levels, w_levels, res_levels = _soft_levels_impl(
         scene, o, d, tau, tau_z, depth=depth, with_residuals=True
     )
-    return acc, (scene, o, d, tau, tau_z, rays_levels, w_levels)
+    return acc, (scene, o, d, tau, tau_z, rays_levels, w_levels, res_levels)
 
 
 def _soft_trace_bwd(depth, res, ct):
-    scene, o, d, tau, tau_z, rays_levels, w_levels = res
+    scene, o, d, tau, tau_z, rays_levels, w_levels, res_levels = res
     scene_ct, ct_o, ct_d, ct_tau, ct_tau_z = _soft_levels_bwd_impl(
-        scene, tau, tau_z, rays_levels, w_levels, ct, depth=depth
+        scene, tau, tau_z, rays_levels, w_levels, res_levels, ct, depth=depth
     )
     ct_o = V3(_unbroadcast(ct_o.x, o.x), _unbroadcast(ct_o.y, o.y),
               _unbroadcast(ct_o.z, o.z))

@@ -130,6 +130,22 @@ def test_soft_kernel_gradients_match_fd():
     assert abs(g - fd) <= 0.05 * max(abs(fd), 1e-6), (g, fd)
 
 
+def test_sigmoid_underflow_margin_canary():
+    """The soft tube gate's exactness rests on f32 sigmoid underflowing to
+    EXACTLY 0.0 (value and gradient) past -_GATE_SIG_MARGIN. Pin that the
+    margin keeps headroom over this engine's underflow point — if a jax
+    upgrade changes the sigmoid lowering, this canary fires before the
+    gates silently perturb fit gradients. (Mosaic's compiled form is
+    pinned by the tests_tpu parity lane.)"""
+    m = ps._GATE_SIG_MARGIN
+    assert m >= 128.0  # 1.4x over the worst (exp-form) underflow at ~-89
+    for x in (-m, -m * 2.0):
+        xv = jnp.float32(x)
+        assert float(jax.nn.sigmoid(xv)) == 0.0
+        assert float(jax.grad(lambda v: jax.nn.sigmoid(v))(xv)) == 0.0
+    assert ps._GATE_T_MARGIN >= 128.0
+
+
 def test_soft_multi_plane_cotangent_slots(monkeypatch):
     """Sphere counts past one lane-slot plane (the old 1024 cliff, VERDICT
     r4 item 3) scatter their cotangents into ADDITIONAL (8, 128) planes.
