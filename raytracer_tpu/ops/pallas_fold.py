@@ -1780,7 +1780,11 @@ def _trace_level(tables, chunk_list, counts, gtables, slab, mats, lights,
 # padded-count fold made deep cond-wrapped level chains expensive
 # (640x640 d10 fused lost 4.19 vs 3.59); after the exact-count fold the
 # balance flipped (d10 fused WINS 2.53 vs 3.44 ms) — cap now 10, the
-# reference's own maximum recursion depth (main.cpp:23).
+# reference's own maximum recursion depth (main.cpp:23). The chunk cap
+# stays 4: an 8-chunk (128-sphere) scene measured 9.55 ms per-level vs
+# 10.18 fused (v5e 2026-08-20, 1080p d3) — identity shortlists make every
+# tile fold every chunk, and past 4 chunks the per-tile shortlists beat
+# the saved inter-level HBM.
 _FUSED_MAX_CHUNKS = int(os.environ.get("RT_FUSED_MAX_CHUNKS", "4"))
 _FUSED_MAX_DEPTH = int(os.environ.get("RT_FUSED_MAX_DEPTH", "10"))
 # Fused TRAINING forward (emit per-level residuals from the whole-trace

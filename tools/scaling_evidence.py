@@ -163,7 +163,27 @@ def main() -> dict:
         jax.jit(step_s).lower(state_s, scene_s, camera, target_s),
     ))
 
+    # 5. Soft training step on the (4,2) mesh: round 5 folds 'prim' into
+    #    'px' for the soft path, so all 8 devices carry DISTINCT pixel
+    #    rows (per-shard work = 1/8 frame; before, the 2 prim shards
+    #    recomputed identical 1/4-frame tiles — 2x the soft-fit work).
+    #    The gradient all-reduce spans both axes and stays O(params).
+    init_s2, step_s2 = make_fit_step(sw, sh, mesh=mesh_tp, depth=1,
+                                     soft=True)
+    state_s2 = init_s2(scene_s)
+    results.append(analyze(
+        f"fit step px=4 prim=2, px-folded (soft, {sw}x{sh} d1, 4 spheres)",
+        jax.jit(step_s2).lower(state_s2, scene_s, camera, target_s),
+    ))
+
     artifact = {
+        "px_folded_soft_note": (
+            "The soft path has no primitive-parallel meaning for 'prim', "
+            "so render_soft_sharded_impl folds ('px','prim') into one row "
+            "axis (round 5): compare the px=8 and px=4x2 soft fit steps — "
+            "identical per-shard bytes/flops (both are 8-way row splits), "
+            "collective payload still O(params)."
+        ),
         "prim_tp_note": (
             "Primitive tensor parallelism is an OPTIONAL axis for scenes "
             "whose sphere tables outgrow VMEM, not a throughput axis: its "
