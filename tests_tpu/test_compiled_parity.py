@@ -82,6 +82,61 @@ def test_compiled_trace_backward_matches_xla(rays):
     np.testing.assert_allclose(gk, gx, atol=1e-2 * np.abs(gx).max())
 
 
+def test_compiled_fused_backward_demo_class(rays):
+    """The round-5 FUSED whole-trace backward on the single-chunk (demo /
+    c3) scene class, compiled: (a) every scene-leaf gradient is finite and
+    matches the XLA path at the established 1e-2 bar under an MSE loss;
+    (b) the fused sweep is BIT-IDENTICAL to the per-level backward chain
+    it replaced (same kernels' math, one dispatch — measured identical to
+    every printed digit on the v5e, pinned here). Uses sprint3 (sun +
+    walls + sphere) at depth 3 so the sun/sky cotangent packing and the
+    dead-sky-tile level skip both execute compiled."""
+    from raytracer_tpu.models.scenes import sprint3_scene
+    from raytracer_tpu.ops import pallas_fold as pf
+    from raytracer_tpu.render.integrator import render
+
+    scene = sprint3_scene()
+    cam = reference_demo_camera()
+    tgt = jnp.zeros((H, W, 3), jnp.float32)
+
+    def loss(s, fold):
+        img = render(s, cam, W, H, depth=3, fold=fold, tonemap=True)
+        return jnp.mean((img - tgt) ** 2)
+
+    g_fused = jax.grad(lambda s: loss(s, "pallas"))(scene)
+    g_xla = jax.grad(lambda s: loss(s, "jnp"))(scene)
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_fused),
+        jax.tree_util.tree_leaves(g_xla),
+    ):
+        if not hasattr(a, "dtype") or a.dtype != jnp.float32 or not a.size:
+            continue
+        assert bool(jnp.isfinite(a).all()), path
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            atol=1e-2 * max(float(jnp.max(jnp.abs(b))), 1e-8),
+            err_msg=str(path),
+        )
+
+    import unittest.mock as mock
+
+    with mock.patch.object(pf, "_FUSED_BWD", False):
+        jax.clear_caches()
+        g_pl = jax.grad(lambda s: loss(s, "pallas"))(scene)
+    jax.clear_caches()
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_fused),
+        jax.tree_util.tree_leaves(g_pl),
+    ):
+        if not hasattr(a, "dtype") or a.dtype != jnp.float32 or not a.size:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6,
+            atol=1e-7 * max(float(jnp.max(jnp.abs(b))), 1e-8),
+            err_msg=str(path),
+        )
+
+
 def test_compiled_camera_gradients_finite_and_match(rays):
     """Camera gradients flow through the backward kernels' RAY cotangents
     (ct_o/ct_d -> raygen transpose) — the channel the round-4 miss-lane
