@@ -314,8 +314,10 @@ def _soft_gate_arrays(scene: Scene, tau, n_s_pad: int) -> list:
     gr2 = jnp.where(nv > 0, gr * gr, -1.0)
     gsm = jnp.max(jnp.where(valid, off, 0.0), axis=1) + _SOFT_GATE_PAD
     # Chunk AABBs over the sigmoid-inflated member balls (the "aabb" gate
-    # geometry). All-pad chunks get an inverted box (lo > hi) — the slab
-    # test can never accept them.
+    # geometry). All-pad chunks (only the sphere-less scene's mandatory
+    # chunk) are rejected by the gate's explicit gr2 >= 0 term — an
+    # inverted box can NOT encode emptiness through the slab test's
+    # per-axis min/max sort (it becomes accept-all).
     BIG = jnp.float32(1e30)
     vm = valid[..., None]
     ball_lo = c3 - r_eff[..., None]
@@ -407,8 +409,14 @@ def _chunk_reachable(gate, c, rays6, geom, tau, n_chunks: int):
         # The LINE (not the ray) must meet the box — the coverage sigmoid
         # sees line distance — and the box's line interval must not end
         # beyond the behind-camera sigmoid's underflow width (member hit
-        # points lie inside the box, so their t <= tf).
-        return (w > 0.0) & (tn <= tf) & (tf > -_GATE_T_MARGIN * tau_eff)
+        # points lie inside the box, so their t <= tf). The gr2 >= 0 term
+        # rejects all-pad chunks explicitly: the slab min/max sort turns
+        # their inverted box into accept-all, it cannot encode emptiness.
+        return (
+            (w > 0.0) & (tn <= tf)
+            & (tf > -_GATE_T_MARGIN * tau_eff)
+            & (gate["gr2"][c] >= 0.0)
+        )
     gcx, gcy, gcz = gate["gcx"][c], gate["gcy"][c], gate["gcz"][c]
     s_g = dx * gcx + dy * gcy + dz * gcz
     ogc = ox * gcx + oy * gcy + oz * gcz
@@ -671,6 +679,7 @@ def _kernel_soft_level(keys, sizes, cnt, is_last: bool,
             # path's zero-forward-replay property, ~1 forward's worth of
             # sphere work removed from every backward level).
             res_refs = refs[n_ref + 20:]
+            assert len(res_refs) == 1 + n_carry, (len(res_refs), n_carry)
             res_refs[0][:] = t_ref
             for ref, v in zip(res_refs[1:], carry):
                 ref[:] = v
@@ -815,13 +824,14 @@ def _kernel_soft_level_bwd(keys, sizes, cnt, is_last: bool, ct_rows: int):
                         & (lane_io == slot_i % _SL_C)
                     )
                     plane_i = idx // _SLOT_CAP
+                    # n_planes distinct masks, shared across the 12 keys.
+                    sels = [hit & (plane_i == pn) for pn in range(n_planes)]
                     slots = list(slots)
                     for j, k in enumerate(_SPH_KEYS):
                         for pn in range(n_planes):
                             si = j * n_planes + pn
-                            sel = hit & (plane_i == pn)
                             slots[si] = jnp.where(
-                                sel, slots[si] + ct_p_i[k], slots[si]
+                                sels[pn], slots[si] + ct_p_i[k], slots[si]
                             )
                     slots = tuple(slots)
                 return ct_r, ct_l, ct_t, ct_tz, slots

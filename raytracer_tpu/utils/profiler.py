@@ -274,11 +274,17 @@ def benchmark_forward_backward(
         # the saved residuals). Without this, XLA would DCE residual-only
         # computations and this chain would silently re-measure the pure
         # forward.
+        # NOT `probe * 0.0`: XLA folds float mul-by-zero (the CLAUDE.md
+        # masked-sqrt incident) and would DCE the very residuals the
+        # probe keeps live. Each tapped element is clipped (residual t
+        # planes hold MISS_T = 1e30) then 1e-30-scaled so the chain
+        # scalar stays ~0.
         probe = jnp.float32(0)
         for r in jax.tree_util.tree_leaves(vjp_fn):
             if hasattr(r, "dtype") and r.size:
-                probe = probe + r.reshape(-1)[0].astype(jnp.float32) * 1e-30
-        return l * 1e-30 + probe * 0.0
+                v = jnp.clip(r.reshape(-1)[0].astype(jnp.float32), -1.0, 1.0)
+                probe = probe + v * 1e-30
+        return l * 1e-30 + probe
 
     def fwdbwd_step(s, c, eps):
         p = {"center": params["center"] + eps, "color": params["color"]}
@@ -291,7 +297,7 @@ def benchmark_forward_backward(
     run_both = _make_chain(fwdbwd_step, args)
 
     rounds = max(int(rounds), 1)
-    t_fwd_r, t_train_r, t_both_r, ratio_r = [], [], [], []
+    t_fwd_r, t_train_r, t_both_r, t_bwd_r, ratio_r = [], [], [], [], []
     for _ in range(rounds):
         tf = run_fwd(iters)
         tt = run_train(iters)
@@ -299,11 +305,17 @@ def benchmark_forward_backward(
         t_fwd_r.append(tf)
         t_train_r.append(tt)
         t_both_r.append(tb)
+        t_bwd_r.append(max(tb - tt, 0.0))
         ratio_r.append(max(tb - tt, 0.0) / tf if tf > 0 else float("inf"))
     t_fwd = statistics.median(t_fwd_r)
     t_train = statistics.median(t_train_r)
     t_both = statistics.median(t_both_r)
-    t_bwd = max(t_both - t_train, 0.0)
+    # Median of the PER-ROUND paired differences — medians of t_both and
+    # t_train separately can come from different rounds (different relay
+    # conditions), which is exactly the unpaired subtraction this method
+    # exists to avoid.
+    t_bwd = statistics.median(t_bwd_r)
+    ratio = statistics.median(ratio_r)
     return {
         "forward_ms": t_fwd * 1e3,
         "forward_train_ms": t_train * 1e3,
@@ -312,8 +324,9 @@ def benchmark_forward_backward(
         # backward/forward wall time — the BASELINE.json secondary metric
         # (NOT (fwd+bwd)/fwd; that is fwdbwd_over_fwd below). Denominator
         # is the pure INFERENCE forward; the residual-emitting engine gap
-        # is visible separately as forward_train_ms - forward_ms.
-        "bwd_fwd_ratio": t_bwd / t_fwd if t_fwd > 0 else float("inf"),
+        # is visible separately as forward_train_ms - forward_ms. Median
+        # of per-round paired ratios.
+        "bwd_fwd_ratio": ratio,
         "bwd_fwd_ratio_rounds": [round(r, 3) for r in ratio_r],
         "forward_ms_rounds": [round(v * 1e3, 3) for v in t_fwd_r],
         "forward_train_ms_rounds": [round(v * 1e3, 3) for v in t_train_r],

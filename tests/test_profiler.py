@@ -38,10 +38,17 @@ def test_forward_backward_three_way_decomposition():
         "fwdbwd_over_fwd",
     ):
         assert np.isfinite(r[k]) and r[k] >= 0, (k, r[k])
-    # backward = both - train by definition (clamped at 0).
-    assert r["backward_ms"] == max(
-        r["forward_backward_ms"] - r["forward_train_ms"], 0.0
-    )
+    # backward = median of the PER-ROUND paired (both - train) differences
+    # (clamped at 0), not a difference of independent medians.
+    import statistics
+
+    paired = [
+        max(b - t, 0.0)
+        for b, t in zip(
+            r["forward_backward_ms_rounds"], r["forward_train_ms_rounds"]
+        )
+    ]
+    assert abs(r["backward_ms"] - statistics.median(paired)) < 1e-2
     # Paired per-round values are reported for the spread artifact.
     for k in (
         "bwd_fwd_ratio_rounds",
