@@ -174,7 +174,11 @@ def test_compiled_soft_forward_and_grads(rays):
     from raytracer_tpu.diff.soft import trace_soft
     from raytracer_tpu.ops import pallas_soft as ps
 
-    scene = grid_sphere_scene(8, distance=4.0)
+    # 24 spheres = 3 chunks: the scene-adaptive AABB chunk gate (round 5)
+    # compiles and must stay exact — 1-chunk scenes take the bounding-
+    # sphere branch and would leave the aabb slab gate Mosaic-untested.
+    scene = grid_sphere_scene(24, distance=5.0)
+    assert ps._soft_gate_kind(ps._n_s_pad(scene) // ps._SOFT_CHUNK) == "aabb"
     o, d = rays
     TAU, TAU_Z = jnp.float32(0.02), jnp.float32(0.05)
 
