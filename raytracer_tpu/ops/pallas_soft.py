@@ -116,6 +116,12 @@ _SOFT_PALLAS = os.environ.get("RT_SOFT_PALLAS", "1") != "0"
 # canary test (tests/test_pallas_soft.py) pins the XLA floor; the
 # tests_tpu parity lane pins Mosaic's.
 _SOFT_TUBE_GATE = os.environ.get("RT_SOFT_TUBE_GATE", "1") != "0"
+# A/B knob: one vjp per 8-sphere chunk (batched) vs one per sphere
+# (streamed). Measured a LOSS (v5e 2026-08-21, 1080p d1 soft fit,
+# process-per-config): 64-sph 27.1 -> 32.4 ms, 1024-sph 373.7 -> 376.8 —
+# the 8-sphere residual set livening together costs Mosaic more register/
+# VMEM pressure than the per-call plumbing it saves. Default streamed.
+_SOFT_CHUNK_VJP = os.environ.get("RT_SOFT_CHUNK_VJP", "0") != "0"
 _GATE_SIG_MARGIN = float(os.environ.get("RT_SOFT_GATE_SIG_MARGIN", "128"))
 _GATE_T_MARGIN = float(os.environ.get("RT_SOFT_GATE_T_MARGIN", "128"))
 _SOFT_GATE_PAD = 1e-2  # absolute bounding-sphere inflation (f32 drift)
@@ -799,8 +805,62 @@ def _kernel_soft_level_bwd(keys, sizes, cnt, is_last: bool, ct_rows: int):
             tuple(zslot for _ in range(len(_SPH_KEYS) * n_planes)),
         )
 
+        def scatter_sphere(slots, idx, ct_p_i):
+            slot_i = idx % _SLOT_CAP
+            hit = (
+                (row_io == slot_i // _SL_C)
+                & (lane_io == slot_i % _SL_C)
+            )
+            plane_i = idx // _SLOT_CAP
+            # n_planes distinct masks, shared across the 12 keys.
+            sels = [hit & (plane_i == pn) for pn in range(n_planes)]
+            slots = list(slots)
+            for j, k in enumerate(_SPH_KEYS):
+                for pn in range(n_planes):
+                    si = j * n_planes + pn
+                    slots[si] = jnp.where(
+                        sels[pn], slots[si] + ct_p_i[k], slots[si]
+                    )
+            return tuple(slots)
+
         def chunk_body(c, state):
-            def do_chunk(st):
+            def do_chunk_batched(st):
+                # ONE vjp over the summed 8-sphere chunk contribution:
+                # the carry is a plain sum, so the chunk sum's cotangent
+                # is still ct_carry; residuals for 8 spheres stay well
+                # inside the scoped-VMEM budget (the r4 overflow was the
+                # whole-SCENE loop, pre-streaming).
+                ct_r, ct_l, ct_t, ct_tz, slots = st
+                plist = tuple(
+                    {k: sread(k, c * _SOFT_CHUNK + u) for k in _SPH_KEYS}
+                    for u in range(_SOFT_CHUNK)
+                )
+
+                def chunk_f(lts_t, tau_t, tau_z_t, ps_t, rays_t):
+                    outs = None
+                    for p_t in ps_t:
+                        cb = _sphere_contrib(
+                            lts_t, tau_t, tau_z_t, p_t, rays_t, t_ref,
+                            is_last=is_last,
+                        )
+                        outs = cb if outs is None else tuple(
+                            a + b for a, b in zip(outs, cb)
+                        )
+                    return outs
+
+                _, vjp_c = jax.vjp(chunk_f, lts, tau, tau_z, plist, rays6)
+                ct_l_i, ct_t_i, ct_tz_i, ct_ps, ct_r_i = vjp_c(ct_carry)
+                ct_r = add(ct_r, ct_r_i)
+                ct_l = add(ct_l, ct_l_i)
+                ct_t = ct_t + ct_t_i
+                ct_tz = ct_tz + ct_tz_i
+                for u in range(_SOFT_CHUNK):
+                    slots = scatter_sphere(
+                        slots, c * _SOFT_CHUNK + u, ct_ps[u]
+                    )
+                return ct_r, ct_l, ct_t, ct_tz, slots
+
+            def do_chunk_streamed(st):
                 ct_r, ct_l, ct_t, ct_tz, slots = st
                 for u in range(_SOFT_CHUNK):
                     idx = c * _SOFT_CHUNK + u
@@ -818,23 +878,12 @@ def _kernel_soft_level_bwd(keys, sizes, cnt, is_last: bool, ct_rows: int):
                     ct_l = add(ct_l, ct_l_i)
                     ct_t = ct_t + ct_t_i
                     ct_tz = ct_tz + ct_tz_i
-                    slot_i = idx % _SLOT_CAP
-                    hit = (
-                        (row_io == slot_i // _SL_C)
-                        & (lane_io == slot_i % _SL_C)
-                    )
-                    plane_i = idx // _SLOT_CAP
-                    # n_planes distinct masks, shared across the 12 keys.
-                    sels = [hit & (plane_i == pn) for pn in range(n_planes)]
-                    slots = list(slots)
-                    for j, k in enumerate(_SPH_KEYS):
-                        for pn in range(n_planes):
-                            si = j * n_planes + pn
-                            slots[si] = jnp.where(
-                                sels[pn], slots[si] + ct_p_i[k], slots[si]
-                            )
-                    slots = tuple(slots)
+                    slots = scatter_sphere(slots, idx, ct_p_i)
                 return ct_r, ct_l, ct_t, ct_tz, slots
+
+            do_chunk = (
+                do_chunk_batched if _SOFT_CHUNK_VJP else do_chunk_streamed
+            )
 
             if not _SOFT_TUBE_GATE:
                 return do_chunk(state)
