@@ -11,7 +11,7 @@ reachable by ``jax.grad`` — the whole scene is differentiable by construction.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from raytracer_tpu.core.types import Camera, Scene
-from raytracer_tpu.core.v3 import V3
 from raytracer_tpu.ops.tonemap import reinhard_tonemap
 from raytracer_tpu.ops.trace import (
     SoAHit,

@@ -13,8 +13,6 @@ XLA overlaps it with the backward bounce scan.
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import Any, Callable
 
 import jax
