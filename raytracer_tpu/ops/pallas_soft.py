@@ -122,6 +122,16 @@ _SOFT_TUBE_GATE = os.environ.get("RT_SOFT_TUBE_GATE", "1") != "0"
 # the 8-sphere residual set livening together costs Mosaic more register/
 # VMEM pressure than the per-call plumbing it saves. Default streamed.
 _SOFT_CHUNK_VJP = os.environ.get("RT_SOFT_CHUNK_VJP", "0") != "0"
+# A/B knob: per-sphere EXACT alpha gate inside accepted chunks — probe
+# the coverage product (the cheap half of the contrib) and lax.cond-skip
+# the shading/softmax payload when it is exactly 0 on every lane. Exact
+# for values and gradients by the same underflow argument as the chunk
+# gate (alpha == 0 kills every outgoing chain). Measured a LOSS (v5e
+# 2026-08-21, 1024-sph 1080p d1 soft forward: 151 -> 177 ms): ~240
+# per-sphere conds/tile stall the scalar pipeline more than the skipped
+# shading saves — the soft twin of the hard path's sub-chunk-gate
+# negative result. Default OFF.
+_SOFT_SPHERE_GATE = os.environ.get("RT_SOFT_SPHERE_GATE", "0") != "0"
 _GATE_SIG_MARGIN = float(os.environ.get("RT_SOFT_GATE_SIG_MARGIN", "128"))
 _GATE_T_MARGIN = float(os.environ.get("RT_SOFT_GATE_T_MARGIN", "128"))
 _SOFT_GATE_PAD = 1e-2  # absolute bounding-sphere inflation (f32 drift)
@@ -563,13 +573,31 @@ def _soft_stream_sums(tbls, sread, gate, rays6, geom, w, t_ref, *, cnt,
 
     def chunk_body(c, carry):
         def do_chunk(cr):
+            from raytracer_tpu.diff.soft import _sphere_alpha_t_scalar
+
+            o_v = V3(rays6[0], rays6[1], rays6[2])
+            d_v = V3(rays6[3], rays6[4], rays6[5])
             for u in range(_SOFT_CHUNK):
                 idx = c * _SOFT_CHUNK + u
                 p = {k: sread(k, idx) for k in _SPH_KEYS}
-                contrib = _sphere_contrib(
-                    lts, tau, tau_z, p, rays6, t_ref, is_last=is_last
-                )
-                cr = tuple(a + v for a, v in zip(cr, contrib))
+                if _SOFT_SPHERE_GATE:
+                    alpha, _, _, _ = _sphere_alpha_t_scalar(p, o_v, d_v, tau)
+
+                    def add_contrib(cr, p=p):
+                        contrib = _sphere_contrib(
+                            lts, tau, tau_z, p, rays6, t_ref,
+                            is_last=is_last,
+                        )
+                        return tuple(a + v for a, v in zip(cr, contrib))
+
+                    cr = jax.lax.cond(
+                        jnp.any(alpha > 0.0), add_contrib, lambda cr: cr, cr
+                    )
+                else:
+                    contrib = _sphere_contrib(
+                        lts, tau, tau_z, p, rays6, t_ref, is_last=is_last
+                    )
+                    cr = tuple(a + v for a, v in zip(cr, contrib))
             return cr
 
         if not _SOFT_TUBE_GATE:
