@@ -89,6 +89,24 @@ def test_benchmark_render_contract():
     assert r["primary_rays_per_s"] > 0
 
 
+def test_benchmark_scaling_contract():
+    """benchmark_scaling shards the same frame over growing device counts
+    and reports efficiency vs linear scaling from the 1-device run."""
+    from raytracer_tpu.utils.profiler import benchmark_scaling
+
+    scene = reference_demo_scene()
+    cam = reference_demo_camera()
+    rows = benchmark_scaling(
+        scene, cam, 64, 32, depth=0, iters=1, device_counts=[1, 2]
+    )
+    assert [r["devices"] for r in rows] == [1, 2]
+    assert rows[0]["scaling_efficiency"] == 1.0
+    for r in rows:
+        assert np.isfinite(r["frame_ms"]) and r["frame_ms"] > 0
+        assert r["primary_rays_per_s"] > 0
+        assert r["scaling_efficiency"] > 0
+
+
 def test_phase_timer_report_and_save(tmp_path):
     t = PhaseTimer()
     with t.phase("raytracing"):
