@@ -159,7 +159,7 @@ def main() -> None:
     # the true backward is ~1.6 ms, so per-round differences sit near the
     # relay's dispatch-noise floor at shorter chains (a 15-iter run showed
     # a 29% round spread where 25-iter runs hold under 10%).
-    extra_fwdbwd("", scene, iters=25, rounds=5)
+    extra_fwdbwd("", scene, iters=25, rounds=7)
     grid64 = scenes.grid_sphere_scene(64)
     # >=32 prims: the per-level trace kernels + mm-gather backward
     extra_fwdbwd("_grid64", grid64, iters=12, rounds=5)
