@@ -207,3 +207,41 @@ def test_winner_recompute_never_selects_placeholder():
     assert n_len < 1.5, n_len  # near-unit, not the far-off-point blowup
     col = shade_soa(rec, -d, scene.lights)
     assert np.isfinite(np.asarray(col.stacked())).all()
+
+
+def test_randomized_scene_backward_parity():
+    """Gradient fuzz lane: a randomized 130-sphere scene (multi-chunk,
+    irregular chunk occupancy incl. a partial last chunk) — pallas
+    megakernel backward vs the jnp path, every sphere leaf. Pins chunk
+    -boundary scatter/regather cases the structured grid scenes miss."""
+    from raytracer_tpu.models.scenes import (
+        random_sphere_scene,
+        reference_demo_camera,
+    )
+    from raytracer_tpu.render.integrator import render
+
+    scene = random_sphere_scene(130, seed=7)
+    camera = reference_demo_camera()
+    W, H = 64, 40
+    weights = jnp.cos(jnp.arange(H * W * 3, dtype=jnp.float32)).reshape(
+        H, W, 3
+    )
+
+    def loss(s, fold):
+        img = render(s, camera, W, H, depth=1, tonemap=True, fold=fold)
+        return jnp.sum(img * weights)
+
+    g_pal = jax.grad(lambda s: loss(s, "pallas"))(scene)
+    g_jnp = jax.grad(lambda s: loss(s, "jnp"))(scene)
+    for (path, lp), lj in zip(
+        jax.tree_util.tree_leaves_with_path(g_pal),
+        jax.tree_util.tree_leaves(g_jnp),
+    ):
+        if not lp.size or lp.dtype != jnp.float32:
+            continue
+        assert bool(jnp.isfinite(lp).all()), path
+        scale = max(float(jnp.max(jnp.abs(lj))), 1e-4)
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(lj), atol=1e-2 * scale,
+            err_msg=str(path),
+        )
